@@ -1,0 +1,243 @@
+"""Metropolis–Hastings kernel and driver algorithm.
+
+TPU-native rebuild of the reference hot loop (``src/metropolis.jl:176-309``).
+Where the reference runs a scalar ``mc_step!`` per chain in a Julia closure
+mapped over OS threads, here one chain's step is a pure function
+(:func:`mc_step`), the per-sweep loop is ``lax.scan`` (:func:`mc_sweep`), the
+chain axis is ``vmap`` + sharding (handled by the orchestrator/mesh), and
+rejection is a ``where``-select — no mutate-and-revert.
+
+RNG design (SURVEY §7 "RNG semantics"): each chain owns a counter-based base
+key ``fold_in(seed_key, chain_id)``; per timestep the sweep key is
+``fold_in(base, t)``.  This replaces the per-chain ``Xoshiro(seed + c - 1)``
+streams (``src/metropolis.jl:262-263``) and is bitwise reproducible for any
+chain sharding / host count.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .algorithms import DeviceAlgorithm, ObservableRecorder, SimView
+from .moves import Move, MoveDef, tree_select
+
+__all__ = [
+    "mc_step",
+    "mc_sweep",
+    "Metropolis",
+    "callback_acceptance",
+    "StoreParameters",
+]
+
+
+def mc_step(movedefs: Sequence[MoveDef], params: Sequence, log_weights,
+            state, counters, key):
+    """One Metropolis–Hastings step on a single chain.
+
+    The 8-stage recipe of ``mc_step!`` + the categorical move selection of
+    ``mc_sweep!`` (``src/metropolis.jl:176-212``), fused and purely
+    functional:
+
+    sample action -> forward logq -> apply (returns delta log target)
+    -> invert -> backward logq -> accept-test in log space -> select.
+
+    Args:
+      movedefs: static tuple of :class:`MoveDef` (the pool).
+      params: tuple of parameter pytrees, one per move (traced).
+      log_weights: precomputed ``log(weight)`` vector, shape ``(K,)``.
+      state: single-chain system state pytree.
+      counters: ``(K, 2)`` int32 array of (accepted, total) per move.
+      key: PRNG key for this step.
+
+    Returns:
+      ``(new_state, new_counters)``.
+    """
+    n_moves = len(movedefs)
+    kid, ksample, kaccept = jax.random.split(key, 3)
+
+    def make_branch(k):
+        md, p = movedefs[k], params[k]
+
+        def branch(operand):
+            st, ks, ka = operand
+            action = md.policy.sample(p, ks, st)
+            logq_f = md.policy.log_density(p, action, st)
+            new_st, dlogp = md.apply(st, action)
+            inv = md.invert(action, new_st)
+            logq_b = md.policy.log_density(p, inv, new_st)
+            log_ratio = dlogp + logq_b - logq_f
+            u = jax.random.uniform(ka, dtype=jnp.result_type(log_ratio))
+            accept = jnp.log(u) < log_ratio
+            return tree_select(accept, new_st, st), accept
+
+        return branch
+
+    if n_moves == 1:
+        move_id = jnp.zeros((), jnp.int32)
+        new_state, accept = make_branch(0)((state, ksample, kaccept))
+    else:
+        move_id = jax.random.categorical(kid, log_weights).astype(jnp.int32)
+        new_state, accept = jax.lax.switch(
+            move_id, [make_branch(k) for k in range(n_moves)],
+            (state, ksample, kaccept))
+
+    onehot = jax.nn.one_hot(move_id, n_moves, dtype=counters.dtype)
+    inc = jnp.stack([onehot * accept.astype(counters.dtype), onehot], axis=-1)
+    return new_state, counters + inc
+
+
+def mc_sweep(movedefs, params, log_weights, state, counters, key,
+             mc_steps: int = 1):
+    """``mc_steps`` MH steps on one chain (ref ``mc_sweep!``,
+    ``src/metropolis.jl:203-212``) as a ``lax.scan`` over split keys."""
+    if mc_steps == 1:
+        return mc_step(movedefs, params, log_weights, state, counters, key)
+
+    keys = jax.random.split(key, mc_steps)
+
+    def body(carry, k):
+        st, cnt = carry
+        st, cnt = mc_step(movedefs, params, log_weights, st, cnt, k)
+        return (st, cnt), None
+
+    (state, counters), _ = jax.lax.scan(body, (state, counters), keys)
+    return state, counters
+
+
+class Metropolis(DeviceAlgorithm):
+    """Metropolis driver over all chains (ref ``Metropolis``,
+    ``src/metropolis.jl:232-309``).
+
+    Owns the move pool.  The reference deep-copies the pool per chain and then
+    aliases policy/parameter objects so a single update affects every chain
+    (``src/metropolis.jl:252-260,289``); here parameters are simply replicated
+    arrays stored once in device state (``dstate['params']``) — broadcast
+    replaces aliasing.
+    """
+
+    state_key = "metropolis"
+
+    def __init__(self, sim, pool: Sequence[Move] = (), sweepstep: int = 1,
+                 seed: int = 1, dependencies=(), **_):
+        if not pool:
+            raise ValueError("Metropolis requires a non-empty move pool")
+        self.pool = tuple(pool)
+        self.movedefs = tuple(m.move for m in self.pool)
+        self.weights = np.asarray([m.weight for m in self.pool], np.float32)
+        if not np.all(self.weights > 0):
+            raise ValueError("move weights must be positive")
+        self.log_weights = jnp.asarray(
+            np.log(self.weights / self.weights.sum()))
+        self.sweepstep = int(sweepstep)
+        self.seed = int(seed)
+        self.n_chains = sim.n_chains
+        self.n_moves = len(self.pool)
+
+    # -- device-state slice ------------------------------------------------
+    def init_state(self, sim):
+        base = jax.random.key(self.seed)
+        chain_ids = jnp.arange(self.n_chains, dtype=jnp.uint32)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(base, chain_ids)
+        counters = jnp.zeros((self.n_chains, self.n_moves, 2), jnp.int32)
+        return {"keys": keys, "counters": counters}
+
+    def init_params(self):
+        """Initial replicated move parameters (tuple, one pytree per move)."""
+        return tuple(
+            jax.tree_util.tree_map(jnp.asarray, m.params) for m in self.pool)
+
+    # -- compiled step -----------------------------------------------------
+    def step(self, dstate, t):
+        slc = dstate[self.state_key]
+        params = dstate["params"]
+        step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+            slc["keys"], t.astype(jnp.uint32))
+
+        def one_chain(st, cnt, k):
+            return mc_sweep(self.movedefs, params, self.log_weights, st, cnt,
+                            k, self.sweepstep)
+
+        sys, counters = jax.vmap(one_chain)(
+            dstate["sys"], slc["counters"], step_keys)
+        return {**dstate, "sys": sys,
+                self.state_key: {**slc, "counters": counters}}
+
+    # -- summary -----------------------------------------------------------
+    def write_summary(self, io, scheduler):
+        from .algorithms import _n_calls
+        io.write("\tMetropolis\n")
+        io.write(f"\t\tCalls: {_n_calls(scheduler)}\n")
+        io.write(f"\t\tMC steps per simulation step: {self.sweepstep}\n")
+        io.write(f"\t\tSeed: {self.seed}\n")
+        io.write(f"\t\tParallel: {jax.device_count() > 1}\n")
+        io.write(f"\t\tDevices: {jax.device_count()}\n")
+        io.write("\t\tMoves:\n")
+        for k, move in enumerate(self.pool):
+            io.write(f"\t\t\tMove {k + 1}:\n")
+            io.write(f"\t\t\t\tAction: {move.move.name}\n")
+            io.write(f"\t\t\t\tPolicy: {type(move.move.policy).__name__}\n")
+            io.write(f"\t\t\t\tParameters: {_fmt_params(move.params)}\n")
+            io.write(f"\t\t\t\tWeight: {move.weight}\n")
+
+
+def _fmt_params(params) -> str:
+    flat = np.concatenate(
+        [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(params)])
+    return "[" + ", ".join(repr(float(v)) for v in flat) + "]"
+
+
+def callback_acceptance(view: SimView):
+    """Mean acceptance rate over chains and moves
+    (ref ``callback_acceptance``, ``src/metropolis.jl:319-321``)."""
+    counters = view.state["metropolis"]["counters"]  # (M, K, 2)
+    acc = counters[..., 0].astype(jnp.float32)
+    tot = counters[..., 1].astype(jnp.float32)
+    return jnp.mean(acc / tot)
+
+
+class StoreParameters(ObservableRecorder):
+    """Snapshot shared move parameters to ``parameters/<k>/parameters.dat``
+    (ref ``StoreParameters``, ``src/metropolis.jl:380-450``)."""
+
+    def __init__(self, sim, dependencies=(), ids=None, store_first: bool = True,
+                 store_last: bool = False, **_):
+        deps = [d for d in dependencies if isinstance(d, Metropolis)]
+        if len(deps) != 1:
+            raise ValueError(
+                "StoreParameters requires a single Metropolis dependency")
+        self.metropolis = deps[0]
+        n_moves = self.metropolis.n_moves
+        self.ids = list(range(n_moves)) if ids is None else list(ids)
+        self.store_first = store_first
+        self.store_last = store_last
+        self.dirs = [os.path.join(sim.path, "parameters", str(k + 1))
+                     for k in self.ids]
+        self.paths = [os.path.join(d, "parameters.dat") for d in self.dirs]
+        self.files = []
+
+    def initialise(self, sim):
+        if sim.verbose:
+            print("Opening parameter files...")
+        for d in self.dirs:
+            os.makedirs(d, exist_ok=True)
+        self.files = [open(p, "w") for p in self.paths]
+
+    def observable(self, view: SimView):
+        return tuple(view.params[k] for k in self.ids)
+
+    def write(self, sim, t, value):
+        for f, p in zip(self.files, value):
+            f.write(f"{t} {_fmt_params(p)}\n")
+            f.flush()
+
+    def finalise(self, sim):
+        if sim.verbose:
+            print("Closing parameter files...")
+        for f in self.files:
+            f.close()
+        self.files = []

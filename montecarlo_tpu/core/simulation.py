@@ -1,0 +1,389 @@
+"""Simulation orchestrator.
+
+Rebuild of the reference time loop (``src/simulation.jl``) around XLA's
+compilation model.  The reference dispatches ``make_step!`` per algorithm per
+timestep from a host loop (``src/simulation.jl:184-191``); doing that on TPU
+would bottleneck on host↔device latency.  Instead (SURVEY §7.4):
+
+- Device algorithms (Metropolis, PGMC estimator/update) execute inside ONE
+  compiled ``lax.fori_loop`` whose body applies each algorithm under a
+  ``lax.cond`` on a precomputed boolean schedule mask — arbitrary schedules,
+  single compilation.
+- Recorder events are "sync points".  Sorted sync times are factored into
+  arithmetic runs (:func:`montecarlo_tpu.core.schedule.compress_runs`) and
+  each run executes as an on-device scan that advances ``stride`` steps and
+  writes observables into a device-resident ring buffer, flushed to host once
+  per chunk — the "on-device trajectory buffers" of BASELINE.json.
+- Host algorithms and non-bufferable recorders (backups) fall back to
+  per-event advance + pull, preserving the reference's in-order-within-a-step
+  semantics for the device side.
+
+Algorithm-list construction mirrors the reference's NamedTuple DSL with
+dependency resolution by constructor type (``src/simulation.jl:68-88``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .algorithms import (Algorithm, DeviceAlgorithm, HostAlgorithm,
+                         ObservableRecorder, SimView)
+from .schedule import build_schedule, compress_runs
+from .system import SystemDef
+
+__all__ = ["Simulation", "run", "build_schedule"]
+
+_CHUNK = 512          # periods buffered on device per flush
+_MIN_BUFFERED = 4     # below this run length, per-event path is cheaper
+
+
+class Simulation:
+    """Holds chains + algorithms + schedules; see module docstring.
+
+    Mirrors the reference ``Simulation`` struct and convenience constructor
+    (``src/simulation.jl:16-88``).  ``algorithm_list`` entries are dicts with
+    an ``algorithm`` class, optional ``scheduler`` (default: every step),
+    optional ``dependencies`` (tuple of previously-listed algorithm classes,
+    resolved to instances by type matching), plus algorithm kwargs.
+    """
+
+    def __init__(self, system: SystemDef, chains, algorithm_list,
+                 steps: int, path: str = "data", verbose: bool = False):
+        self.system = system
+        self.chains0 = chains
+        leaves = jax.tree_util.tree_leaves(chains)
+        if not leaves:
+            raise ValueError("chains pytree has no leaves")
+        self.n_chains = int(leaves[0].shape[0])
+        self.steps = int(steps)
+        self.path = path
+        self.verbose = verbose
+        self.t = 0
+        self.device_state: Dict[str, Any] = {}
+
+        self.algorithms: List[Algorithm] = []
+        self.schedulers: List[np.ndarray] = []
+        for spec in algorithm_list:
+            spec = dict(spec)
+            cls = spec.pop("algorithm")
+            sched = spec.pop("scheduler", None)
+            if sched is None:
+                sched = np.arange(1, self.steps + 1, dtype=np.int64)
+            sched = np.asarray(sched, dtype=np.int64)
+            if sched.size and (not np.all(np.diff(sched) >= 0)):
+                raise ValueError(f"scheduler for {cls.__name__} must be sorted")
+            if sched.size and (sched[0] < 0 or sched[-1] > self.steps):
+                raise ValueError(
+                    f"scheduler for {cls.__name__} out of range [0, steps]")
+            dep_types = tuple(spec.pop("dependencies", ()))
+            deps = tuple(a for a in self.algorithms
+                         if isinstance(a, dep_types)) if dep_types else ()
+            inst = cls(self, dependencies=deps, **spec)
+            self.algorithms.append(inst)
+            self.schedulers.append(sched)
+
+        # unique state keys for device algorithms (list order preserved)
+        seen = set()
+        self.device_algos: List[DeviceAlgorithm] = []
+        for a in self.algorithms:
+            if isinstance(a, DeviceAlgorithm):
+                base = a.state_key or type(a).__name__.lower()
+                key, i = base, 1
+                while key in seen:
+                    key = f"{base}_{i}"
+                    i += 1
+                a.state_key = key
+                seen.add(key)
+                self.device_algos.append(a)
+
+        os.makedirs(self.path, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def init_device_state(self):
+        dstate: Dict[str, Any] = {
+            "sys": jax.tree_util.tree_map(jnp.asarray, self.chains0),
+            "t": jnp.asarray(0, jnp.int32),
+            "params": (),
+        }
+        for a in self.device_algos:
+            if hasattr(a, "init_params") and not dstate["params"]:
+                dstate["params"] = a.init_params()
+        for a in self.device_algos:
+            dstate[a.state_key] = a.init_state(self)
+        return dstate
+
+    def view(self, dstate) -> SimView:
+        return SimView(sys=dstate["sys"], params=dstate["params"],
+                       t=dstate["t"], state=dstate)
+
+    def run(self):
+        run(self)
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+def run(simulation: Simulation):
+    """Run the simulation (ref ``run!``, ``src/simulation.jl:175-204``)."""
+    sim = simulation
+    try:
+        if sim.verbose:
+            print("\n" + "-" * 50)
+            print("\033[1;32mINITIALISATION\033[0m")
+        for alg in sim.algorithms:
+            alg.initialise(sim)
+        sim.device_state = sim.init_device_state()
+        _write_summary(sim)
+        _store_first(sim)
+        if sim.verbose:
+            print("\033[1;32m\nRUNNING SIMULATION...\033[0m")
+        t_start = time.perf_counter()
+        _execute(sim)
+        jax.block_until_ready(sim.device_state)
+        sim_time = time.perf_counter() - t_start
+        if sim.verbose:
+            print(f"\nSimulation completed in {sim_time} s")
+        _update_summary(sim, sim_time)
+    finally:
+        if sim.verbose:
+            print("\033[1;32m\nFINALISATION\033[0m")
+        _store_last(sim)
+        for alg in sim.algorithms:
+            alg.finalise(sim)
+        _finalise_summary(sim)
+        if sim.verbose:
+            print("\033[1;32m\nDONE\033[0m")
+            print("-" * 50 + "\n")
+
+
+def _store_first(sim: Simulation):
+    """store_first semantics: observe at t=0 before any step
+    (ref ``initialise`` hooks, e.g. ``src/algorithms.jl:90-95``)."""
+    recs = [a for a in sim.algorithms
+            if isinstance(a, ObservableRecorder) and a.store_first]
+    _pull_and_write(sim, recs, 0)
+
+
+def _store_last(sim: Simulation):
+    recs = [a for a in sim.algorithms
+            if isinstance(a, ObservableRecorder) and a.store_last]
+    if sim.device_state:
+        _pull_and_write(sim, recs, sim.t)
+
+
+def _pull_and_write(sim, recorders, t):
+    if not recorders:
+        return
+    values = jax.device_get(
+        tuple(r.observable(sim.view(sim.device_state)) for r in recorders))
+    for r, v in zip(recorders, values):
+        r.write(sim, t, v)
+
+
+# -- compiled advance -------------------------------------------------------
+
+def _make_advance(device_algos):
+    """Build the fused device time-stepper.
+
+    ``masks`` is a tuple of bool arrays (length steps+1), one per device
+    algorithm, indexed by timestep — the compiled replacement for the
+    reference's sparse scheduler-counter check (``src/simulation.jl:186``).
+    """
+
+    def advance(ds, masks, n_steps):
+        def body(_, ds):
+            t = ds["t"] + 1
+            ds = {**ds, "t": t}
+            for alg, mask in zip(device_algos, masks):
+                ds = jax.lax.cond(
+                    mask[t], lambda d, a=alg: a.step(d, d["t"]),
+                    lambda d: d, ds)
+            return ds
+        return jax.lax.fori_loop(0, n_steps, body, ds)
+
+    return advance
+
+
+def _execute(sim: Simulation):
+    advance = _make_advance(sim.device_algos)
+    advance_j = jax.jit(advance)
+
+    masks = []
+    for a in sim.device_algos:
+        i = sim.algorithms.index(a)
+        m = np.zeros(sim.steps + 1, dtype=bool)
+        sched = sim.schedulers[i]
+        m[sched[(sched > 0) & (sched <= sim.steps)]] = True
+        masks.append(jnp.asarray(m))
+    masks = tuple(masks)
+
+    # sync events: (obs recorder indices, host algorithm indices) per time
+    events: Dict[int, tuple] = {}
+    for i, (alg, sched) in enumerate(zip(sim.algorithms, sim.schedulers)):
+        if isinstance(alg, (ObservableRecorder, HostAlgorithm)):
+            for t in sched[(sched > 0) & (sched <= sim.steps)]:
+                events.setdefault(int(t), ([], []))
+                if isinstance(alg, ObservableRecorder):
+                    events[int(t)][0].append(i)
+                else:
+                    events[int(t)][1].append(i)
+
+    sync_ts = sorted(events)
+    observe_cache: Dict[tuple, Any] = {}
+    chunk_cache: Dict[tuple, Any] = {}
+
+    def make_observe(obs_ids):
+        if obs_ids not in observe_cache:
+            recs = [sim.algorithms[i] for i in obs_ids]
+
+            def observe(ds):
+                v = sim.view(ds)
+                return tuple(r.observable(v) for r in recs)
+
+            observe_cache[obs_ids] = (observe, jax.jit(observe))
+        return observe_cache[obs_ids]
+
+    def make_chunk(obs_ids):
+        """Buffered runner: n_periods advances, each followed by an on-device
+        observable emit into a CHUNK-deep ring buffer."""
+        if obs_ids not in chunk_cache:
+            observe, _ = make_observe(obs_ids)
+
+            @jax.jit
+            def run_chunk(ds, masks, first_dt, stride, n_periods):
+                shapes = jax.eval_shape(observe, ds)
+                bufs = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros((_CHUNK,) + s.shape, s.dtype), shapes)
+
+                def body(i, carry):
+                    ds, bufs = carry
+                    dt = jnp.where(i == 0, first_dt, stride)
+                    ds = advance(ds, masks, dt)
+                    obs = observe(ds)
+                    bufs = jax.tree_util.tree_map(
+                        lambda b, o: jax.lax.dynamic_update_index_in_dim(
+                            b, o, i, 0), bufs, obs)
+                    return ds, bufs
+
+                return jax.lax.fori_loop(0, n_periods, body, (ds, bufs))
+
+            chunk_cache[obs_ids] = run_chunk
+        return chunk_cache[obs_ids]
+
+    ds = sim.device_state
+
+    # group sync times into uniform runs (same signature, constant stride)
+    groups = _group_events(sync_ts, events)
+    for times, obs_ids, host_ids in groups:
+        bufferable = (not host_ids
+                      and len(times) >= _MIN_BUFFERED
+                      and all(getattr(sim.algorithms[i], "buffered_ok", True)
+                              for i in obs_ids))
+        if bufferable:
+            _, stride, _ = compress_runs(np.asarray(times))[0]
+            run_chunk = make_chunk(obs_ids)
+            recs = [sim.algorithms[i] for i in obs_ids]
+            pos = 0
+            while pos < len(times):
+                n = min(_CHUNK, len(times) - pos)
+                first_dt = times[pos] - sim.t
+                ds, bufs = run_chunk(ds, masks, first_dt,
+                                     stride if stride else 1, n)
+                vals = jax.device_get(bufs)
+                for j in range(n):
+                    t_j = times[pos + j]
+                    for r, v in zip(recs, vals):
+                        r.write(sim, t_j, jax.tree_util.tree_map(
+                            lambda x: x[j], v))
+                sim.t = times[pos + n - 1]
+                sim.device_state = ds
+                pos += n
+        else:
+            _, observe_j = make_observe(obs_ids) if obs_ids else (None, None)
+            for t in times:
+                if t > sim.t:
+                    ds = advance_j(ds, masks, t - sim.t)
+                    sim.t = t
+                    sim.device_state = ds
+                if obs_ids:
+                    vals = jax.device_get(observe_j(ds))
+                    for i, v in zip(obs_ids, vals):
+                        sim.algorithms[i].write(sim, t, v)
+                for i in host_ids:
+                    sim.algorithms[i].make_step(sim, t)
+
+    if sim.t < sim.steps:
+        ds = advance_j(ds, masks, sim.steps - sim.t)
+        sim.t = sim.steps
+    sim.device_state = ds
+
+
+def _group_events(sync_ts, events):
+    """Split sorted sync times into maximal runs with identical firing
+    signature and constant stride."""
+    groups = []
+    i, n = 0, len(sync_ts)
+    while i < n:
+        t0 = sync_ts[i]
+        sig = (tuple(events[t0][0]), tuple(events[t0][1]))
+        j = i + 1
+        stride = None
+        while j < n:
+            tj = sync_ts[j]
+            if (tuple(events[tj][0]), tuple(events[tj][1])) != sig:
+                break
+            s = tj - sync_ts[j - 1]
+            if stride is None:
+                stride = s
+            elif s != stride:
+                break
+            j += 1
+        groups.append((sync_ts[i:j], sig[0], list(sig[1])))
+        i = j
+    return groups
+
+
+# -- summary.log (ref ``src/simulation.jl:124-172``) ------------------------
+
+def _write_summary(sim: Simulation):
+    with open(os.path.join(sim.path, "summary.log"), "w") as f:
+        f.write("SIMULATION SUMMARY\n\n")
+        f.write("Simulation:\n")
+        f.write(f"\tSteps: {sim.steps}\n")
+        f.write(f"\tNumber of chains: {sim.n_chains}\n")
+        f.write(f"\tNumber of algorithms: {len(sim.algorithms)}\n")
+        f.write(f"\tVerbose: {sim.verbose}\n")
+        f.write(f"\tStarted on {datetime.datetime.now()}\n\n")
+        f.write("System:\n")
+        f.write(f"\t{sim.system.name}\n\n")
+        f.write("Algorithms:\n")
+        for alg, sched in zip(sim.algorithms, sim.schedulers):
+            alg.write_summary(f, sched)
+        f.write("\n")
+
+
+def _update_summary(sim: Simulation, sim_time: float):
+    with open(os.path.join(sim.path, "summary.log"), "a") as f:
+        f.write("Report:\n")
+        f.write(f"\tSimulation time: {sim_time} s\n")
+
+
+def _finalise_summary(sim: Simulation):
+    total = 0
+    for root, _, files in os.walk(sim.path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    with open(os.path.join(sim.path, "summary.log"), "a") as f:
+        f.write(f"\tSimulation size: {total / 1024 ** 2} MB\n")
+        f.write(f"\tStatus: Completed on {datetime.datetime.now()}\n")

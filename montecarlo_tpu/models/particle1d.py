@@ -1,0 +1,135 @@
+"""1-D particle in an external potential.
+
+TPU-native rebuild of the reference example system
+(``example/particle_1d/particle_1d.jl``): state carries position ``x``,
+inverse temperature ``beta`` and the *cached* potential energy ``e`` (the
+functional analogue of ``Particle.e``, ``particle_1d.jl:9-16``), so the
+Displacement move's delta-log-target is computed from cached energies —
+the ``perform_action_cached!`` trick as data instead of control flow.
+
+Provides the harmonic oscillator and double-well potentials used by the
+reference tests/examples, the Gaussian Displacement move with analytic
+log-density (``particle_1d.jl:26-59``), and the energy callback
+(``particle_1d.jl:68-70``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.moves import Move, MoveDef, Policy
+from ..core.system import SystemDef
+
+__all__ = [
+    "Particle1DState",
+    "harmonic",
+    "double_well",
+    "make_system",
+    "init_chains",
+    "StandardGaussian",
+    "displacement_move",
+    "callback_energy",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Particle1DState:
+    """Single-chain state (chain axis added by ``vmap``/``stack_chains``)."""
+    x: jax.Array      # position
+    beta: jax.Array   # inverse temperature
+    e: jax.Array      # cached potential energy  (ref Particle.e)
+
+
+def harmonic(x):
+    """U(x) = x^2 (ref ``potential(x) = x^2`` in the harmonic example)."""
+    return x * x
+
+
+def double_well(x, a=1.0, h=1.0):
+    """U(x) = h * (x^2 - a^2)^2 / a^4 — double well with minima at ±a."""
+    d = x * x - a * a
+    return h * d * d / (a ** 4)
+
+
+def make_system(potential=harmonic) -> SystemDef:
+    """System descriptor.  Log target = -beta * e from the cached energy
+    (ref ``unnormalised_log_target_density``, ``particle_1d.jl:20-22``)."""
+
+    def log_target(state: Particle1DState):
+        return -state.e * state.beta
+
+    def frame(state: Particle1DState):
+        return state.x
+
+    def format_frame(t, x):
+        # ref custom store_trajectory: "t x" (particle_1d.jl:63-66)
+        return f"{t} {float(x)!r}"
+
+    def parse_frame(line: str):
+        t_str, x_str = line.split()
+        return int(t_str), float(x_str)
+
+    return SystemDef(name="Particle1D", log_target=log_target, frame=frame,
+                     format_frame=format_frame, parse_frame=parse_frame)
+
+
+def init_chains(n_chains: int, beta: float, seed: int = 42,
+                potential=harmonic, dtype=jnp.float32) -> Particle1DState:
+    """Chain-stacked initial state with x0 ~ U[-2, 2) (matching the
+    reference scripts' ``4rand(rng) - 2`` init)."""
+    key = jax.random.key(seed)
+    x = 4.0 * jax.random.uniform(key, (n_chains,), dtype=dtype) - 2.0
+    return Particle1DState(
+        x=x,
+        beta=jnp.full((n_chains,), beta, dtype),
+        e=potential(x),
+    )
+
+
+class StandardGaussian(Policy):
+    """Zero-mean Gaussian over displacements, parameter ``sigma``
+    (ref ``StandardGaussian`` policy, ``particle_1d.jl:48-59``)."""
+
+    def sample(self, params, key, state):
+        sigma = params["sigma"]
+        return sigma * jax.random.normal(key, dtype=jnp.result_type(sigma))
+
+    def log_density(self, params, action, state):
+        sigma = params["sigma"]
+        return (-(action * action) / (2.0 * sigma * sigma)
+                - 0.5 * jnp.log(2.0 * jnp.pi * sigma * sigma))
+
+
+def displacement_move(sigma: float, weight: float = 1.0,
+                      potential=harmonic) -> Move:
+    """Gaussian displacement move (ref ``Displacement`` action +
+    ``perform_action!``/``invert_action!``/``reward``,
+    ``particle_1d.jl:26-44``)."""
+
+    def apply(state: Particle1DState, delta):
+        xn = state.x + delta
+        en = potential(xn)
+        dlogp = -(en - state.e) * state.beta
+        return dataclasses.replace(state, x=xn, e=en), dlogp
+
+    def invert(delta, new_state):
+        return -delta
+
+    def reward(delta, new_state):
+        return delta * delta
+
+    md = MoveDef(name="Displacement", policy=StandardGaussian(),
+                 apply=apply, invert=invert, reward=reward)
+    return Move(move=md, params={"sigma": jnp.asarray(sigma, jnp.float32)},
+                weight=weight)
+
+
+def callback_energy(view):
+    """Mean cached energy over chains (ref ``callback_energy``,
+    ``particle_1d.jl:68-70``)."""
+    return jnp.mean(view.sys.e)
