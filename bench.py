@@ -1,0 +1,58 @@
+"""Headline benchmark: Metropolis steps/s/chip at 10^4 particle-1d chains.
+
+BASELINE.json target: >100M Metropolis steps/s/chip.  Prints ONE JSON line.
+
+The measured path is the production engine path: the fused compiled time loop
+(`_make_advance`) the Simulation orchestrator runs between sync points —
+not a stripped-down kernel.  A scalar readback forces device sync
+(block_until_ready does not reliably block on the axon tunnel backend).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_metropolis(n_chains=10_000, n_steps=50_000, repeats=3):
+    import montecarlo_tpu as mc
+    from montecarlo_tpu.core.simulation import _make_advance
+    from montecarlo_tpu.models import particle1d as p1d
+
+    system = p1d.make_system(p1d.harmonic)
+    chains = p1d.init_chains(n_chains, beta=2.0, seed=42)
+    pool = (p1d.displacement_move(sigma=0.5),)
+    sim = mc.Simulation(system, chains,
+                        [dict(algorithm=mc.Metropolis, pool=pool, seed=42)],
+                        n_steps, path="/tmp/mctpu_bench")
+    ds = sim.init_device_state()
+    masks = tuple(jnp.ones(n_steps + 1, bool) for _ in sim.device_algos)
+    advance = jax.jit(_make_advance(sim.device_algos))
+
+    # compile + warm
+    out = advance(ds, masks, n_steps)
+    float(out["sys"].x.sum())
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = advance(ds, masks, n_steps)
+        float(out["sys"].x.sum())  # force sync
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * n_steps / best
+
+
+def main():
+    rate = bench_metropolis()
+    baseline = 100e6  # BASELINE.json: >100M Metropolis steps/s/chip
+    print(json.dumps({
+        "metric": "metropolis_steps_per_sec_per_chip_at_1e4_chains",
+        "value": round(rate),
+        "unit": "steps/s",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,8 +55,10 @@ class Simulation:
     """
 
     def __init__(self, system: SystemDef, chains, algorithm_list,
-                 steps: int, path: str = "data", verbose: bool = False):
+                 steps: int, path: str = "data", verbose: bool = False,
+                 mesh=None):
         self.system = system
+        self.mesh = mesh
         self.chains0 = chains
         leaves = jax.tree_util.tree_leaves(chains)
         if not leaves:
@@ -117,6 +119,9 @@ class Simulation:
                 dstate["params"] = a.init_params()
         for a in self.device_algos:
             dstate[a.state_key] = a.init_state(self)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_device_state
+            dstate = shard_device_state(dstate, self.mesh, self.n_chains)
         return dstate
 
     def view(self, dstate) -> SimView:
