@@ -15,9 +15,9 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_metropolis(n_chains=10_000, n_steps=50_000, repeats=3):
+def bench_metropolis(n_chains=10_000, n_steps=500_000, repeats=3):
     import montecarlo_tpu as mc
-    from montecarlo_tpu.core.simulation import _make_advance
+    from montecarlo_tpu.core.simulation import _select_advance
     from montecarlo_tpu.models import particle1d as p1d
 
     system = p1d.make_system(p1d.harmonic)
@@ -28,7 +28,8 @@ def bench_metropolis(n_chains=10_000, n_steps=50_000, repeats=3):
                         n_steps, path="/tmp/mctpu_bench")
     ds = sim.init_device_state()
     masks = tuple(jnp.ones(n_steps + 1, bool) for _ in sim.device_algos)
-    advance = jax.jit(_make_advance(sim.device_algos))
+    # production path: fused Pallas segment kernel when eligible
+    advance = jax.jit(_select_advance(sim))
 
     # compile + warm
     out = advance(ds, masks, n_steps)

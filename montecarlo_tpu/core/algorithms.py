@@ -31,6 +31,13 @@ from typing import Any, Callable, Sequence
 import jax
 import numpy as np
 
+def _io_host() -> bool:
+    """Recorder files are written once per run: by process 0 (multi-host
+    runs compute observables globally on every process, but only the IO host
+    touches the filesystem)."""
+    return jax.process_index() == 0
+
+
 __all__ = [
     "Algorithm",
     "DeviceAlgorithm",
@@ -170,6 +177,8 @@ class StoreCallbacks(ObservableRecorder):
         self.files = []
 
     def initialise(self, sim):
+        if not _io_host():
+            return
         if sim.verbose:
             print("Opening callback files...")
         os.makedirs(sim.path, exist_ok=True)
@@ -179,6 +188,8 @@ class StoreCallbacks(ObservableRecorder):
         return tuple(cb(view) for cb in self.callbacks)
 
     def write(self, sim, t, value):
+        if not _io_host():
+            return
         for f, v in zip(self.files, value):
             f.write(f"{t} {_fmt_scalar(v)}\n")
             f.flush()
@@ -216,6 +227,8 @@ class StoreTrajectories(ObservableRecorder):
         self.files = []
 
     def initialise(self, sim):
+        if not _io_host():
+            return
         if sim.verbose:
             print("Opening trajectory files...")
         for d in self.dirs:
@@ -229,6 +242,8 @@ class StoreTrajectories(ObservableRecorder):
         # No per-event flush (the reference flushes every line,
         # src/algorithms.jl:204); buffered IO + flush at finalise keeps the
         # same file contents without 10^6 syscalls on dense schedules.
+        if not _io_host():
+            return
         fmt = self.system.format_frame
         rows = _unstack(value)
         t = int(t)
@@ -265,6 +280,8 @@ class StoreLastFrames(Algorithm):
                      for c in range(sim.n_chains)]
 
     def finalise(self, sim):
+        if not _io_host():
+            return
         frames = jax.device_get(
             jax.vmap(self.system.frame)(sim.device_state["sys"]))
         t = int(sim.t)
@@ -311,6 +328,8 @@ class StoreBackups(ObservableRecorder):
         return jax.vmap(self.system.frame)(view.sys)
 
     def write(self, sim, t, value):
+        if not _io_host():
+            return
         t = int(t)
         for d, row in zip(self.dirs, _unstack(value)):
             path = os.path.join(d, f"restart_t{t}{self.fmt.extension}")

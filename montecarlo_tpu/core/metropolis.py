@@ -16,6 +16,7 @@ chain sharding / host count.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Sequence
 
@@ -165,6 +166,45 @@ class Metropolis(DeviceAlgorithm):
         sys, counters = jax.vmap(one_chain)(
             dstate["sys"], slc["counters"], step_keys)
         return {**dstate, "sys": sys,
+                self.state_key: {**slc, "counters": counters}}
+
+    # -- fused Pallas fast path -------------------------------------------
+    @property
+    def supports_fused(self) -> bool:
+        """True when the pool is a single symmetric-Gaussian 1-D displacement
+        move, which the Pallas VMEM-resident sweep kernel
+        (``ops/fused_sweep.py``) can run at speed-of-light.  Auto-selected by
+        the orchestrator on TPU for single-device runs."""
+        return (self.n_moves == 1
+                and self.pool[0].move.kind == "gaussian_displacement_1d"
+                and jax.default_backend() == "tpu")
+
+    def fused_advance(self, dstate, n_steps):
+        """Advance all chains ``n_steps * sweepstep`` MH steps in one Pallas
+        kernel launch; chains stay resident in VMEM for the whole segment.
+
+        Counters/cached-energy semantics match :meth:`step`; the PRNG stream
+        is the TPU hardware PRNG (seeded per segment from (seed, t)), so
+        individual trajectories differ from the threefry path while the
+        sampled distribution is identical.
+        """
+        from ..ops.fused_sweep import fused_gaussian_sweep
+        slc = dstate[self.state_key]
+        sys = dstate["sys"]
+        potential = self.pool[0].move.aux
+        sigma = jax.tree_util.tree_leaves(dstate["params"][0])[0]
+        t0 = dstate["t"]
+        total = (n_steps * self.sweepstep).astype(jnp.int32)
+        # per-step seeding off the absolute micro-step index keeps results
+        # invariant to how recorder schedules slice the run into segments
+        micro_t0 = (t0 * self.sweepstep).astype(jnp.int32)
+        x, e, acc = fused_gaussian_sweep(
+            sys.x, sys.beta, sigma, jnp.int32(self.seed), micro_t0, total,
+            potential=potential)
+        counters = slc["counters"] + jnp.stack(
+            [acc, jnp.broadcast_to(total, acc.shape)], axis=-1)[:, None, :]
+        new_sys = dataclasses.replace(sys, x=x, e=e)
+        return {**dstate, "sys": new_sys, "t": (t0 + n_steps).astype(jnp.int32),
                 self.state_key: {**slc, "counters": counters}}
 
     # -- summary -----------------------------------------------------------

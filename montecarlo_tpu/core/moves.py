@@ -101,6 +101,11 @@ class MoveDef:
     apply: Callable[[Any, Any], tuple]
     invert: Callable[[Any, Any], Any]
     reward: Optional[Callable[[Any, Any], Any]] = None
+    #: optional structural tag (e.g. "gaussian_displacement_1d") letting the
+    #: engine select a fused Pallas fast path for recognised move shapes
+    kind: str = ""
+    #: auxiliary static payload for fused kernels (e.g. the potential fn)
+    aux: Any = None
 
 
 @dataclasses.dataclass

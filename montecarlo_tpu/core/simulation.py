@@ -145,9 +145,12 @@ def run(simulation: Simulation):
             print("\033[1;32mINITIALISATION\033[0m")
         for alg in sim.algorithms:
             alg.initialise(sim)
-        sim.device_state = sim.init_device_state()
+        resuming = bool(sim.device_state) and sim.t > 0
+        if not resuming:
+            sim.device_state = sim.init_device_state()
         _write_summary(sim)
-        _store_first(sim)
+        if not resuming:
+            _store_first(sim)
         if sim.verbose:
             print("\033[1;32m\nRUNNING SIMULATION...\033[0m")
         t_start = time.perf_counter()
@@ -195,30 +198,56 @@ def _pull_and_write(sim, recorders, t):
 
 # -- compiled advance -------------------------------------------------------
 
-def _make_advance(device_algos):
+def _make_advance(device_algos, always_on=None):
     """Build the fused device time-stepper.
 
     ``masks`` is a tuple of bool arrays (length steps+1), one per device
     algorithm, indexed by timestep — the compiled replacement for the
     reference's sparse scheduler-counter check (``src/simulation.jl:186``).
+    ``always_on[k]`` (static) marks algorithms whose schedule covers every
+    step, letting the body skip the ``lax.cond`` for the common case.
     """
+    if always_on is None:
+        always_on = (False,) * len(device_algos)
 
     def advance(ds, masks, n_steps):
         def body(_, ds):
             t = ds["t"] + 1
             ds = {**ds, "t": t}
-            for alg, mask in zip(device_algos, masks):
-                ds = jax.lax.cond(
-                    mask[t], lambda d, a=alg: a.step(d, d["t"]),
-                    lambda d: d, ds)
+            for alg, mask, always in zip(device_algos, masks, always_on):
+                if always:
+                    ds = alg.step(ds, ds["t"])
+                else:
+                    ds = jax.lax.cond(
+                        mask[t], lambda d, a=alg: a.step(d, d["t"]),
+                        lambda d: d, ds)
             return ds
         return jax.lax.fori_loop(0, n_steps, body, ds)
 
     return advance
 
 
+def _select_advance(sim: Simulation):
+    """Pick the device time-stepper: the fused Pallas segment kernel when the
+    run is a single always-on Metropolis with a fusable pool (single-device),
+    else the generic mask-scheduled loop."""
+    if (len(sim.device_algos) == 1 and sim.mesh is None
+            and getattr(sim.device_algos[0], "supports_fused", False)):
+        alg = sim.device_algos[0]
+        sched = sim.schedulers[sim.algorithms.index(alg)]
+        if len(sched) == sim.steps and sched[0] == 1 and sched[-1] == sim.steps:
+            def advance(ds, masks, n_steps):
+                return alg.fused_advance(ds, jnp.asarray(n_steps, jnp.int32))
+            return advance
+    always_on = tuple(
+        len(s) == sim.steps and s[0] == 1 and s[-1] == sim.steps
+        for s in (sim.schedulers[sim.algorithms.index(a)]
+                  for a in sim.device_algos))
+    return _make_advance(sim.device_algos, always_on)
+
+
 def _execute(sim: Simulation):
-    advance = _make_advance(sim.device_algos)
+    advance = _select_advance(sim)
     advance_j = jax.jit(advance)
 
     masks = []
@@ -241,7 +270,8 @@ def _execute(sim: Simulation):
                 else:
                     events[int(t)][1].append(i)
 
-    sync_ts = sorted(events)
+    # on resume (sim.t > 0 via checkpoint.resume_state) skip past events
+    sync_ts = sorted(t for t in events if t > sim.t)
     observe_cache: Dict[tuple, Any] = {}
     chunk_cache: Dict[tuple, Any] = {}
 

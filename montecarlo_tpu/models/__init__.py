@@ -1,3 +1,3 @@
-from . import particle1d
+from . import lennard_jones, particle1d
 
-__all__ = ["particle1d"]
+__all__ = ["lennard_jones", "particle1d"]

@@ -1,0 +1,293 @@
+"""2-D Lennard-Jones particle system (ParticlesMC-style).
+
+The reference keeps particle systems in companion repos (README.md:26-31
+points at TheDisorderedOrganization/ParticlesMC); BASELINE.json makes a 2-D
+LJ system with local displacement + swap moves a first-class benchmark config,
+so it ships here as a model family.
+
+TPU-native design: positions are a single ``(N, 2)`` array per chain (chain
+axis via vmap/sharding), the per-move energy change is an O(N) vectorized
+min-image row sum (the cached-``Δe`` trick of ``perform_action_cached!``,
+``src/metropolis.jl:119``, generalised: total energy is carried in the state
+and updated incrementally), and species-dependent coefficients are gathered
+from (2, 2) tables — Kob-Andersen-style binary mixtures for swap moves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.moves import Move, MoveDef, Policy
+from ..core.system import SystemDef
+
+__all__ = [
+    "LJState",
+    "LJParams",
+    "make_system",
+    "init_chains",
+    "lj_displacement_move",
+    "lj_swap_move",
+    "total_energy",
+    "callback_energy_per_particle",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LJState:
+    """Single-chain state."""
+    pos: jax.Array       # (N, 2) positions in [0, L)
+    species: jax.Array   # (N,) int32 species labels (0=A, 1=B)
+    beta: jax.Array      # () inverse temperature
+    energy: jax.Array    # () cached total potential energy
+    box: jax.Array       # () periodic box edge L
+
+
+@dataclasses.dataclass(frozen=True)
+class LJParams:
+    """Static interaction table (Kob-Andersen defaults).
+
+    eps/sig are 2x2 species tables; rcut is in units of sig_ab (truncated &
+    shifted so u(rcut)=0).
+    """
+    eps: tuple = ((1.0, 1.5), (1.5, 0.5))
+    sig: tuple = ((1.0, 0.8), (0.8, 0.88))
+    rcut: float = 2.5
+
+    def tables(self):
+        return (jnp.asarray(self.eps, jnp.float32),
+                jnp.asarray(self.sig, jnp.float32))
+
+
+def _pair_energy(r2, eps, sig, rcut):
+    """Truncated-and-shifted LJ on squared distances (vectorized)."""
+    sig2 = sig * sig
+    rc2 = (rcut * sig) ** 2
+    # avoid div-by-zero at the self-distance slot; masked out by caller
+    inv = sig2 / jnp.maximum(r2, 1e-12)
+    i6 = inv * inv * inv
+    u = 4.0 * eps * (i6 * i6 - i6)
+    ic = 1.0 / (rcut * rcut)
+    ic6 = ic * ic * ic
+    ushift = 4.0 * eps * (ic6 * ic6 - ic6)
+    return jnp.where(r2 < rc2, u - ushift, 0.0)
+
+
+def _min_image_r2(pos, x, box):
+    """Squared min-image distances from point ``x`` to every row of ``pos``."""
+    d = pos - x
+    d = d - box * jnp.round(d / box)
+    return jnp.sum(d * d, axis=-1)
+
+
+def _row_energy(state: LJState, x, s_i, mask, params: LJParams):
+    """Interaction energy of a (virtual) particle at ``x`` with species
+    ``s_i`` against all particles (rows where ``mask`` is True excluded)."""
+    eps_t, sig_t = params.tables()
+    r2 = _min_image_r2(state.pos, x, state.box)
+    eps = eps_t[s_i, state.species]
+    sig = sig_t[s_i, state.species]
+    u = _pair_energy(r2, eps, sig, params.rcut)
+    return jnp.sum(jnp.where(mask, 0.0, u))
+
+
+def total_energy(state: LJState, params: LJParams):
+    """Full O(N^2) energy — used for initialisation and cache validation."""
+    eps_t, sig_t = params.tables()
+    d = state.pos[:, None, :] - state.pos[None, :, :]
+    d = d - state.box * jnp.round(d / state.box)
+    r2 = jnp.sum(d * d, axis=-1)
+    eps = eps_t[state.species[:, None], state.species[None, :]]
+    sig = sig_t[state.species[:, None], state.species[None, :]]
+    u = _pair_energy(r2, eps, sig, params.rcut)
+    n = state.pos.shape[0]
+    mask = ~jnp.eye(n, dtype=bool)
+    return 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
+
+
+def make_system(params: LJParams = LJParams()) -> SystemDef:
+    def log_target(state: LJState):
+        return -state.beta * state.energy
+
+    def frame(state: LJState):
+        return {"pos": state.pos, "species": state.species,
+                "energy": state.energy}
+
+    def format_frame(t, fr):
+        n = fr["pos"].shape[0]
+        lines = [f"{t} {n} {float(fr['energy'])!r}"]
+        for k in range(n):
+            lines.append(f"{int(fr['species'][k])} "
+                         f"{float(fr['pos'][k, 0])!r} "
+                         f"{float(fr['pos'][k, 1])!r}")
+        return "\n".join(lines)
+
+    return SystemDef(name="LennardJones2D", log_target=log_target,
+                     frame=frame, format_frame=format_frame)
+
+
+def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
+                frac_b: float = 0.0, seed: int = 42,
+                params: LJParams = LJParams()) -> LJState:
+    """Chain-stacked initial state: square lattice + small jitter (avoids
+    overlaps), species assigned round-robin to hit ``frac_b``."""
+    box = float(np.sqrt(n_particles / rho))
+    side = int(np.ceil(np.sqrt(n_particles)))
+    spacing = box / side
+    grid = np.stack(np.meshgrid(np.arange(side), np.arange(side)),
+                    axis=-1).reshape(-1, 2)[:n_particles]
+    base = (grid + 0.5) * spacing
+
+    n_b = int(round(frac_b * n_particles))
+    species = np.zeros(n_particles, np.int32)
+    if n_b:
+        species[np.linspace(0, n_particles - 1, n_b).astype(int)] = 1
+
+    key = jax.random.key(seed)
+    jitter = (0.1 * spacing) * jax.random.uniform(
+        key, (n_chains, n_particles, 2), minval=-1.0, maxval=1.0)
+    pos = (jnp.asarray(base, jnp.float32)[None] + jitter) % box
+
+    state = LJState(
+        pos=pos,
+        species=jnp.broadcast_to(jnp.asarray(species), (n_chains, n_particles)),
+        beta=jnp.full((n_chains,), beta, jnp.float32),
+        energy=jnp.zeros((n_chains,), jnp.float32),
+        box=jnp.full((n_chains,), box, jnp.float32),
+    )
+    energy = jax.vmap(lambda s: total_energy(s, params))(state)
+    return dataclasses.replace(state, energy=energy)
+
+
+# ---------------------------------------------------------------------------
+# Moves
+# ---------------------------------------------------------------------------
+
+class GaussianDisplacement2D(Policy):
+    """Uniform particle pick + isotropic Gaussian displacement.
+
+    The particle-selection factor 1/N is identical forward/backward and the
+    Gaussian is symmetric, so logq_f == logq_b — both are still computed by
+    the generic kernel (ref ``mc_step!`` recipe) and cancel in the ratio.
+    """
+
+    def sample(self, params, key, state):
+        ki, kd = jax.random.split(key)
+        n = state.pos.shape[0]
+        i = jax.random.randint(ki, (), 0, n)
+        delta = params["sigma"] * jax.random.normal(kd, (2,))
+        return {"i": i, "delta": delta}
+
+    def log_density(self, params, action, state):
+        sigma = params["sigma"]
+        d2 = jnp.sum(action["delta"] ** 2)
+        n = state.pos.shape[0]
+        return (-d2 / (2.0 * sigma * sigma)
+                - jnp.log(2.0 * jnp.pi * sigma * sigma)
+                - jnp.log(jnp.asarray(float(n), sigma.dtype)))
+
+
+def lj_displacement_move(sigma: float, weight: float = 1.0,
+                         params: LJParams = LJParams()) -> Move:
+    """Local displacement with O(N) incremental ΔE."""
+
+    def apply(state: LJState, action):
+        i, delta = action["i"], action["delta"]
+        n = state.pos.shape[0]
+        mask = jnp.arange(n) == i
+        old = state.pos[i]
+        new = old + delta
+        s_i = state.species[i]
+        e_old = _row_energy(state, old, s_i, mask, params)
+        e_new = _row_energy(state, new, s_i, mask, params)
+        d_e = e_new - e_old
+        pos = state.pos.at[i].set(new % state.box)
+        new_state = dataclasses.replace(
+            state, pos=pos, energy=state.energy + d_e)
+        return new_state, -state.beta * d_e
+
+    def invert(action, new_state):
+        return {"i": action["i"], "delta": -action["delta"]}
+
+    def reward(action, new_state):
+        return jnp.sum(action["delta"] ** 2)
+
+    md = MoveDef(name="LJDisplacement", policy=GaussianDisplacement2D(),
+                 apply=apply, invert=invert, reward=reward)
+    return Move(move=md, params={"sigma": jnp.asarray(sigma, jnp.float32)},
+                weight=weight)
+
+
+class UniformPairSwap(Policy):
+    """Pick an (A, B) pair uniformly; proposal is symmetric (self-inverse),
+    so logq_f == logq_b by construction."""
+
+    def sample(self, params, key, state):
+        ki, kj = jax.random.split(key)
+        n = state.pos.shape[0]
+        is_b = state.species == 1
+        n_b = jnp.sum(is_b)
+        n_a = n - n_b
+        # index of the k-th A (resp. B) particle via cumulative counts
+        ka = jax.random.randint(ki, (), 0, jnp.maximum(n_a, 1))
+        kb = jax.random.randint(kj, (), 0, jnp.maximum(n_b, 1))
+        a_rank = jnp.cumsum(~is_b) - 1
+        b_rank = jnp.cumsum(is_b) - 1
+        i = jnp.argmax((a_rank == ka) & (~is_b))
+        j = jnp.argmax((b_rank == kb) & is_b)
+        return {"i": i, "j": j}
+
+    def log_density(self, params, action, state):
+        is_b = state.species == 1
+        n_b = jnp.sum(is_b).astype(jnp.float32)
+        n_a = is_b.shape[0] - n_b
+        return -jnp.log(jnp.maximum(n_a, 1.0)) - jnp.log(
+            jnp.maximum(n_b, 1.0))
+
+
+def lj_swap_move(weight: float = 1.0,
+                 params: LJParams = LJParams()) -> Move:
+    """Species-swap move: exchange the species labels of an (A, B) pair.
+
+    ΔE is two O(N) row updates (remove both old identities, add both new),
+    with the i–j pair interaction corrected once.
+    """
+
+    def apply(state: LJState, action):
+        i, j = action["i"], action["j"]
+        n = state.pos.shape[0]
+        mask_ij = (jnp.arange(n) == i) | (jnp.arange(n) == j)
+        s_i, s_j = state.species[i], state.species[j]
+        x_i, x_j = state.pos[i], state.pos[j]
+        # old identity rows (exclude both i and j; the ij pair handled apart)
+        e_old = (_row_energy(state, x_i, s_i, mask_ij, params)
+                 + _row_energy(state, x_j, s_j, mask_ij, params))
+        e_new = (_row_energy(state, x_i, s_j, mask_ij, params)
+                 + _row_energy(state, x_j, s_i, mask_ij, params))
+        # i-j pair: species pair is unchanged by the swap (s_i,s_j)->(s_j,s_i)
+        # and eps/sig tables are symmetric, so its energy cancels in ΔE.
+        d_e = e_new - e_old
+        species = state.species.at[i].set(s_j).at[j].set(s_i)
+        new_state = dataclasses.replace(
+            state, species=species, energy=state.energy + d_e)
+        return new_state, -state.beta * d_e
+
+    def invert(action, new_state):
+        return action  # self-inverse
+
+    def reward(action, new_state):
+        return jnp.asarray(1.0, jnp.float32)
+
+    md = MoveDef(name="LJSwap", policy=UniformPairSwap(),
+                 apply=apply, invert=invert, reward=reward)
+    return Move(move=md, params={"dummy": jnp.zeros(())}, weight=weight)
+
+
+def callback_energy_per_particle(view):
+    n = view.sys.pos.shape[-2]
+    return jnp.mean(view.sys.energy) / n

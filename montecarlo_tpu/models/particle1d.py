@@ -124,7 +124,8 @@ def displacement_move(sigma: float, weight: float = 1.0,
         return delta * delta
 
     md = MoveDef(name="Displacement", policy=StandardGaussian(),
-                 apply=apply, invert=invert, reward=reward)
+                 apply=apply, invert=invert, reward=reward,
+                 kind="gaussian_displacement_1d", aux=potential)
     return Move(move=md, params={"sigma": jnp.asarray(sigma, jnp.float32)},
                 weight=weight)
 

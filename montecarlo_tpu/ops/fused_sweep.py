@@ -1,0 +1,144 @@
+"""Pallas fused Metropolis sweep for 1-D scalar systems.
+
+Speed-of-light path for the BASELINE.json headline config (particle-1d
+harmonic, 10^4 chains): the entire chain population stays resident in VMEM
+for a whole multi-step segment, with hardware PRNG, Box–Muller Gaussian
+proposals, and log-space acceptance — one kernel launch per recorder segment
+instead of one XLA step per Metropolis sweep.
+
+Semantically equivalent to the generic `mc_step` path for a single symmetric
+Gaussian displacement move (the logq forward/backward terms of
+``src/metropolis.jl:183`` cancel exactly for this policy, so the acceptance
+rule reduces to ``log u < Δlogp``); the random stream differs (TPU hardware
+PRNG vs threefry), which changes individual trajectories but not the sampled
+distribution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_gaussian_sweep"]
+
+_LANES = 128
+_SUBLANES = 8
+_TILE = _LANES * _SUBLANES
+
+
+def _uniform_from_bits(bits):
+    """uint32 bits -> float32 uniform in (0, 1].
+
+    Mantissa trick: force exponent to [1,2), subtract from 2.0 so the result
+    is in (0, 1] (safe for log)."""
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 - f
+
+
+def _hash32(s):
+    """Murmur3-style finalizer: decorrelates adjacent per-step seeds."""
+    s = s * jnp.int32(-2048144789)          # 0x85EBCA6B
+    s = s ^ jax.lax.shift_right_logical(s, 13)
+    s = s * jnp.int32(-1028477387)          # 0xC2B2AE35
+    s = s ^ jax.lax.shift_right_logical(s, 16)
+    return s
+
+
+def _sweep_kernel(potential, seed_ref, t0_ref, nsteps_ref, x_ref, beta_ref,
+                  sigma_ref, x_out, e_out, acc_out):
+    sigma = sigma_ref[0]
+    beta = beta_ref[:]
+    shape = x_ref.shape
+
+    def body(i, carry):
+        x, acc = carry
+        # Re-seed per *absolute* timestep so trajectories are invariant to
+        # how the run is sliced into segments by recorder schedules (matches
+        # the counter-based fold_in(t) semantics of the generic path).
+        pltpu.prng_seed(_hash32(seed_ref[0] + t0_ref[0] + i))
+        u1 = _uniform_from_bits(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u2 = _uniform_from_bits(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u3 = _uniform_from_bits(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        # Box–Muller: exact standard normal from two uniforms
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * jnp.pi) * u2)
+        xn = x + sigma * z
+        dlogp = beta * (potential(x) - potential(xn))
+        accept = jnp.log(u3) < dlogp
+        x = jnp.where(accept, xn, x)
+        acc = acc + accept.astype(jnp.int32)
+        return x, acc
+
+    x, acc = jax.lax.fori_loop(
+        0, nsteps_ref[0], body,
+        (x_ref[:], jnp.zeros(shape, jnp.int32)))
+    x_out[:] = x
+    e_out[:] = potential(x)
+    acc_out[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("potential", "interpret"))
+def fused_gaussian_sweep(x, beta, sigma, seed, t0, n_steps, *, potential,
+                         interpret=False):
+    """Run ``n_steps`` Metropolis sweeps of a Gaussian displacement move over
+    all chains inside one Pallas kernel.
+
+    Args:
+      x: (M,) float32 positions.
+      beta: (M,) float32 inverse temperatures.
+      sigma: scalar proposal width (traced).
+      seed: int32 scalar base PRNG seed (traced).
+      t0: int32 scalar absolute step offset — step k uses seed
+        ``hash(seed + t0 + k)``, making results segmentation-invariant.
+      n_steps: int32 scalar number of MH steps (traced; dynamic trip count).
+      potential: static elementwise callable U(x).
+
+    Returns:
+      (x', e', accepted) with accepted: (M,) int32 acceptance counts for this
+      segment.
+    """
+    m = x.shape[0]
+    m_pad = -(-m // _TILE) * _TILE
+    rows = m_pad // _LANES
+    xp = jnp.zeros((rows, _LANES), x.dtype).reshape(-1).at[:m].set(x)
+    bp = jnp.zeros((m_pad,), beta.dtype).at[:m].set(beta)
+    xp = xp.reshape(rows, _LANES)
+    bp = bp.reshape(rows, _LANES)
+
+    kernel = functools.partial(_sweep_kernel, potential)
+    x_out, e_out, acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # t0
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # n_steps
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # beta
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sigma
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(t0, jnp.int32).reshape(1),
+        jnp.asarray(n_steps, jnp.int32).reshape(1),
+        xp, bp,
+        jnp.asarray(sigma, jnp.float32).reshape(1),
+    )
+    flat = lambda a: a.reshape(-1)[:m]
+    return flat(x_out), flat(e_out), flat(acc)

@@ -70,6 +70,27 @@ def average(gd: GradientData) -> GradientData:
                         g=gd.g / n, n=gd.n)
 
 
+def _withgrad_log_density(policy, flat_params, unravel, action, state):
+    """(logq, ∇θ logq) — the single dispatch point that replaces the
+    reference's AD-backend plugin layer (``withgrad_log_proposal_density!``,
+    ``src/PolicyGuided/gradients.jl:28`` + ``ext/EnzymeExt.jl`` /
+    ``ext/ZygoteExt.jl``).
+
+    Default backend is ``jax.value_and_grad``; a policy may supply the
+    analytic escape hatch ``grad_log_density(params, action, state) ->
+    params-shaped pytree`` to bypass AD entirely (SURVEY §7.6).
+    """
+    grad_fn = getattr(policy, "grad_log_density", None)
+    if grad_fn is not None:
+        params = unravel(flat_params)
+        logq = policy.log_density(params, action, state)
+        grad_tree = grad_fn(params, action, state)
+        flat_grad, _ = ravel_pytree(grad_tree)
+        return logq, flat_grad
+    return jax.value_and_grad(
+        lambda fp: policy.log_density(unravel(fp), action, state))(flat_params)
+
+
 def pgmc_estimate(movedef: MoveDef, flat_params, unravel, state,
                   action) -> GradientData:
     """Off-policy PGMC probe for one sampled action (ref ``pgmc_estimate``,
@@ -80,22 +101,16 @@ def pgmc_estimate(movedef: MoveDef, flat_params, unravel, state,
     we simply never return the new state.
     """
     policy = movedef.policy
-
-    def logq_fwd(fp):
-        return policy.log_density(unravel(fp), action, state)
-
-    logq_f, glogq_f = jax.value_and_grad(logq_fwd)(flat_params)
+    logq_f, glogq_f = _withgrad_log_density(policy, flat_params, unravel,
+                                            action, state)
     new_state, dlogp = movedef.apply(state, action)
     if movedef.reward is None:
         raise ValueError(f"move {movedef.name} defines no reward; "
                          "required for policy-guided adaptation")
     r = movedef.reward(action, new_state)
     inv = movedef.invert(action, new_state)
-
-    def logq_bwd(fp):
-        return policy.log_density(unravel(fp), inv, new_state)
-
-    logq_b, glogq_b = jax.value_and_grad(logq_bwd)(flat_params)
+    logq_b, glogq_b = _withgrad_log_density(policy, flat_params, unravel,
+                                            inv, new_state)
 
     log_ratio = dlogp + logq_b - logq_f
     alpha = jnp.exp(jnp.minimum(log_ratio, 0.0))
