@@ -56,6 +56,29 @@ class PolicyGradientEstimator(DeviceAlgorithm):
         for lid in self.learn_ids:
             flat, _ = ravel_pytree(self.metropolis.pool[lid].params)
             self.param_dims.append(int(flat.shape[0]))
+        # Group learnable moves with identical structure so the probe kernel
+        # is traced once per *group* and vmapped over the move axis — the
+        # reference traces per move (estimator.jl:112); with e.g. 7
+        # same-policy moves this cuts trace/compile cost ~6x.
+        self._groups = self._build_groups()
+
+    def _build_groups(self):
+        def key(lid):
+            md = self.movedefs[lid]
+            flat, _ = ravel_pytree(self.metropolis.pool[lid].params)
+            structural = (md.kind, id(md.aux), type(md.policy),
+                          int(flat.shape[0])) if md.kind else ("id", id(md))
+            return structural
+
+        groups = {}
+        order = []
+        for acc_idx, lid in enumerate(self.learn_ids):
+            k = key(lid)
+            if k not in groups:
+                groups[k] = []
+                order.append(k)
+            groups[k].append((acc_idx, lid))
+        return [(self.movedefs[groups[k][0][1]], groups[k]) for k in order]
 
     def init_state(self, sim):
         base = jax.random.fold_in(jax.random.key(self.seed), _PGE_TAG)
@@ -69,26 +92,33 @@ class PolicyGradientEstimator(DeviceAlgorithm):
         slc = dstate[self.state_key]
         gds = list(slc["gd"])
         obj = slc["obj"]
-        for idx, lid in enumerate(self.learn_ids):
-            md = self.movedefs[lid]
-            params = dstate["params"][lid]
+        sum0 = lambda x: jnp.sum(x, axis=0)
+        for md, members in self._groups:
+            params_stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[dstate["params"][lid] for _, lid in members])
+            lids = jnp.asarray([lid for _, lid in members], jnp.uint32)
 
-            def per_chain(state, base_key, md=md, params=params, lid=lid):
-                k = jax.random.fold_in(
-                    jax.random.fold_in(base_key, t.astype(jnp.uint32)),
-                    jnp.uint32(lid))
-                ks = jax.random.split(k, self.q_batch_size)
-                batch = jax.vmap(
-                    lambda kk: sample_gradient_data(md, params, state, kk))(ks)
-                return jax.tree_util.tree_map(
-                    lambda x: jnp.sum(x, axis=0), batch)
+            def per_move(params_one, lid, md=md):
+                def per_chain(state, base_key):
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(base_key, t.astype(jnp.uint32)),
+                        lid)
+                    ks = jax.random.split(k, self.q_batch_size)
+                    batch = jax.vmap(lambda kk: sample_gradient_data(
+                        md, params_one, state, kk))(ks)
+                    return jax.tree_util.tree_map(sum0, batch)
 
-            per = jax.vmap(per_chain)(dstate["sys"], slc["keys"])
-            # chain reduction: lowered to psum across shards under a mesh
-            gd = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per)
-            gds[idx] = add(gds[idx], gd)
-            obj = obj.at[idx].set(
-                gds[idx].j / gds[idx].n.astype(gds[idx].j.dtype))
+                per = jax.vmap(per_chain)(dstate["sys"], slc["keys"])
+                # chain reduction: lowered to psum across shards under a mesh
+                return jax.tree_util.tree_map(sum0, per)
+
+            gd_stack = jax.vmap(per_move)(params_stack, lids)
+            for j, (acc_idx, _) in enumerate(members):
+                gd_j = jax.tree_util.tree_map(lambda x: x[j], gd_stack)
+                gds[acc_idx] = add(gds[acc_idx], gd_j)
+                obj = obj.at[acc_idx].set(
+                    gds[acc_idx].j / gds[acc_idx].n.astype(gds[acc_idx].j.dtype))
         return {**dstate, self.state_key: {**slc, "gd": tuple(gds),
                                            "obj": obj}}
 

@@ -67,6 +67,8 @@ class BLAPG(PolicyGradient):
 
 
 def _inv_reg(g, eps_id):
+    if g.shape[0] == 1:  # scalar fast path: avoid the general LU pipeline
+        return 1.0 / (g + eps_id)
     return jnp.linalg.inv(g + eps_id * jnp.eye(g.shape[0], dtype=g.dtype))
 
 
