@@ -30,10 +30,48 @@ from .moves import Move, MoveDef, tree_select
 __all__ = [
     "mc_step",
     "mc_sweep",
+    "grouped_mc_step",
+    "build_move_groups",
     "Metropolis",
     "callback_acceptance",
     "StoreParameters",
 ]
+
+
+def build_move_groups(pool):
+    """Group pool moves with identical structure (same ``kind``, aux payload,
+    policy class, and flat parameter size) so kernels are traced once per
+    group.  Returns ``(groups, group_of, within_of)`` with groups a tuple of
+    ``(movedef, member_ids)`` and the two lookup arrays mapping global move
+    id → (group index, index within group)."""
+    from jax.flatten_util import ravel_pytree
+    import numpy as _np
+
+    keys = []
+    for m in pool:
+        md = m.move
+        flat, _ = ravel_pytree(m.params)
+        if md.kind:
+            keys.append((md.kind, id(md.aux), type(md.policy),
+                         int(flat.shape[0])))
+        else:
+            keys.append(("unique", id(md), id(m)))
+    order, members = [], {}
+    for k in keys:
+        if k not in members:
+            members[k] = []
+            order.append(k)
+    for i, k in enumerate(keys):
+        members[k].append(i)
+    groups = tuple((pool[members[k][0]].move, tuple(members[k]))
+                   for k in order)
+    group_of = _np.zeros(len(pool), _np.int32)
+    within_of = _np.zeros(len(pool), _np.int32)
+    for gi, k in enumerate(order):
+        for wi, mid in enumerate(members[k]):
+            group_of[mid] = gi
+            within_of[mid] = wi
+    return groups, group_of, within_of
 
 
 def mc_step(movedefs: Sequence[MoveDef], params: Sequence, log_weights,
@@ -92,18 +130,82 @@ def mc_step(movedefs: Sequence[MoveDef], params: Sequence, log_weights,
     return new_state, counters + inc
 
 
+def grouped_mc_step(groups, group_of, within_of, params, log_weights,
+                    n_moves, state, counters, key):
+    """Like :func:`mc_step`, but moves with identical structure are grouped:
+    selection gathers the chosen move's parameters from a stacked array
+    instead of adding a ``lax.switch`` branch per move.
+
+    Under ``vmap`` a K-way switch executes every branch, so a pool of K
+    same-structure moves costs K× per step; grouped, it costs 1×.  The
+    categorical selection, per-move counters, and acceptance rule are
+    identical to :func:`mc_step` (ref ``mc_sweep!``,
+    ``src/metropolis.jl:203-212``).
+
+    Args:
+      groups: static tuple of ``(movedef, member_move_ids)``.
+      group_of / within_of: static int arrays mapping global move id to
+        (group index, index within the group's stacked params).
+    """
+    kid, ksample, kaccept = jax.random.split(key, 3)
+    if n_moves == 1:
+        move_id = jnp.zeros((), jnp.int32)
+    else:
+        move_id = jax.random.categorical(kid, log_weights).astype(jnp.int32)
+    w = jnp.asarray(within_of)[move_id]
+
+    def make_branch(gi):
+        md, members = groups[gi]
+
+        def branch(operand):
+            st, ks, ka, w = operand
+            if len(members) == 1:
+                p = params[members[0]]
+            else:
+                p_stack = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[params[lid] for lid in members])
+                p = jax.tree_util.tree_map(lambda x: x[w], p_stack)
+            action = md.policy.sample(p, ks, st)
+            logq_f = md.policy.log_density(p, action, st)
+            new_st, dlogp = md.apply(st, action)
+            inv = md.invert(action, new_st)
+            logq_b = md.policy.log_density(p, inv, new_st)
+            log_ratio = dlogp + logq_b - logq_f
+            u = jax.random.uniform(ka, dtype=jnp.result_type(log_ratio))
+            accept = jnp.log(u) < log_ratio
+            return tree_select(accept, new_st, st), accept
+
+        return branch
+
+    operand = (state, ksample, kaccept, w)
+    if len(groups) == 1:
+        new_state, accept = make_branch(0)(operand)
+    else:
+        g = jnp.asarray(group_of)[move_id]
+        new_state, accept = jax.lax.switch(
+            g, [make_branch(gi) for gi in range(len(groups))], operand)
+
+    onehot = jax.nn.one_hot(move_id, n_moves, dtype=counters.dtype)
+    inc = jnp.stack([onehot * accept.astype(counters.dtype), onehot], axis=-1)
+    return new_state, counters + inc
+
+
 def mc_sweep(movedefs, params, log_weights, state, counters, key,
-             mc_steps: int = 1):
+             mc_steps: int = 1, step_fn=None):
     """``mc_steps`` MH steps on one chain (ref ``mc_sweep!``,
     ``src/metropolis.jl:203-212``) as a ``lax.scan`` over split keys."""
+    if step_fn is None:
+        step_fn = lambda st, cnt, k: mc_step(
+            movedefs, params, log_weights, st, cnt, k)
     if mc_steps == 1:
-        return mc_step(movedefs, params, log_weights, state, counters, key)
+        return step_fn(state, counters, key)
 
     keys = jax.random.split(key, mc_steps)
 
     def body(carry, k):
         st, cnt = carry
-        st, cnt = mc_step(movedefs, params, log_weights, st, cnt, k)
+        st, cnt = step_fn(st, cnt, k)
         return (st, cnt), None
 
     (state, counters), _ = jax.lax.scan(body, (state, counters), keys)
@@ -138,6 +240,8 @@ class Metropolis(DeviceAlgorithm):
         self.seed = int(seed)
         self.n_chains = sim.n_chains
         self.n_moves = len(self.pool)
+        self.groups, self.group_of, self.within_of = build_move_groups(
+            self.pool)
 
     # -- device-state slice ------------------------------------------------
     def init_state(self, sim):
@@ -159,9 +263,14 @@ class Metropolis(DeviceAlgorithm):
         step_keys = jax.vmap(jax.random.fold_in, (0, None))(
             slc["keys"], t.astype(jnp.uint32))
 
+        def step_fn(st, cnt, k):
+            return grouped_mc_step(self.groups, self.group_of, self.within_of,
+                                   params, self.log_weights, self.n_moves,
+                                   st, cnt, k)
+
         def one_chain(st, cnt, k):
             return mc_sweep(self.movedefs, params, self.log_weights, st, cnt,
-                            k, self.sweepstep)
+                            k, self.sweepstep, step_fn=step_fn)
 
         sys, counters = jax.vmap(one_chain)(
             dstate["sys"], slc["counters"], step_keys)

@@ -218,7 +218,8 @@ def lj_displacement_move(sigma: float, weight: float = 1.0,
         return jnp.sum(action["delta"] ** 2)
 
     md = MoveDef(name="LJDisplacement", policy=GaussianDisplacement2D(),
-                 apply=apply, invert=invert, reward=reward)
+                 apply=apply, invert=invert, reward=reward,
+                 kind="lj_displacement_2d", aux=params)
     return Move(move=md, params={"sigma": jnp.asarray(sigma, jnp.float32)},
                 weight=weight)
 
@@ -284,7 +285,8 @@ def lj_swap_move(weight: float = 1.0,
         return jnp.asarray(1.0, jnp.float32)
 
     md = MoveDef(name="LJSwap", policy=UniformPairSwap(),
-                 apply=apply, invert=invert, reward=reward)
+                 apply=apply, invert=invert, reward=reward,
+                 kind="lj_swap", aux=params)
     return Move(move=md, params={"dummy": jnp.zeros(())}, weight=weight)
 
 
