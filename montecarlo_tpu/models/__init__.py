@@ -1,3 +1,3 @@
-from . import lennard_jones, particle1d
+from . import ising, lennard_jones, particle1d
 
-__all__ = ["lennard_jones", "particle1d"]
+__all__ = ["ising", "lennard_jones", "particle1d"]
