@@ -21,7 +21,9 @@ from .core.algorithms import (Algorithm, DeviceAlgorithm, HostAlgorithm,
                               StoreCallbacks, StoreTrajectories,
                               StoreLastFrames, StoreBackups, PrintTimeSteps)
 from .core.simulation import Simulation, build_schedule, run
+from .utils.observability import ProfilerTrace, Throughput
 from . import checkpoint
+from . import parallel
 from . import policy_guided
 
 __version__ = "0.1.0"
@@ -36,5 +38,6 @@ __all__ = [
     "StoreCallbacks", "StoreTrajectories", "StoreLastFrames", "StoreBackups",
     "PrintTimeSteps",
     "Simulation", "build_schedule", "run",
-    "checkpoint", "policy_guided",
+    "Throughput", "ProfilerTrace",
+    "checkpoint", "parallel", "policy_guided",
 ]
