@@ -63,6 +63,19 @@ class LJParams:
         return (jnp.asarray(self.eps, jnp.float32),
                 jnp.asarray(self.sig, jnp.float32))
 
+    def coeffs(self, s_i, s_j):
+        """Species-pair (eps, sig) via arithmetic select — TPU-friendly
+        (vector gathers from tiny tables are slow on the VPU)."""
+        same = s_i == s_j
+        is_a = s_i == 0
+        eps = jnp.where(
+            same, jnp.where(is_a, self.eps[0][0], self.eps[1][1]),
+            self.eps[0][1])
+        sig = jnp.where(
+            same, jnp.where(is_a, self.sig[0][0], self.sig[1][1]),
+            self.sig[0][1])
+        return eps, sig
+
 
 def _pair_energy(r2, eps, sig, rcut):
     """Truncated-and-shifted LJ on squared distances (vectorized)."""
@@ -88,22 +101,18 @@ def _min_image_r2(pos, x, box):
 def _row_energy(state: LJState, x, s_i, mask, params: LJParams):
     """Interaction energy of a (virtual) particle at ``x`` with species
     ``s_i`` against all particles (rows where ``mask`` is True excluded)."""
-    eps_t, sig_t = params.tables()
     r2 = _min_image_r2(state.pos, x, state.box)
-    eps = eps_t[s_i, state.species]
-    sig = sig_t[s_i, state.species]
+    eps, sig = params.coeffs(s_i, state.species)
     u = _pair_energy(r2, eps, sig, params.rcut)
     return jnp.sum(jnp.where(mask, 0.0, u))
 
 
 def total_energy(state: LJState, params: LJParams):
     """Full O(N^2) energy — used for initialisation and cache validation."""
-    eps_t, sig_t = params.tables()
     d = state.pos[:, None, :] - state.pos[None, :, :]
     d = d - state.box * jnp.round(d / state.box)
     r2 = jnp.sum(d * d, axis=-1)
-    eps = eps_t[state.species[:, None], state.species[None, :]]
-    sig = sig_t[state.species[:, None], state.species[None, :]]
+    eps, sig = params.coeffs(state.species[:, None], state.species[None, :])
     u = _pair_energy(r2, eps, sig, params.rcut)
     n = state.pos.shape[0]
     mask = ~jnp.eye(n, dtype=bool)

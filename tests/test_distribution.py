@@ -72,3 +72,36 @@ def test_harmonic_distribution(tmp_path, beta):
     assert len(lf) == M
     t, x = system.parse_frame(open(lf[0]).read().strip())
     assert t == steps
+
+
+def test_double_well_distribution_shape(tmp_path):
+    """Beyond moments: the sampled histogram must match the exact
+    (numerically normalised) double-well density in total variation."""
+    beta = 1.5
+    M, steps, burn = 200, 2 * 10 ** 4, 2000
+    system = p1d.make_system(p1d.double_well)
+    chains = p1d.init_chains(M, beta=beta, seed=7, potential=p1d.double_well)
+    pool = (p1d.displacement_move(sigma=0.8, potential=p1d.double_well),)
+    times = mc.build_schedule(steps, burn, 10)
+    path = str(tmp_path / "dw")
+    sim = mc.Simulation(system, chains, [
+        dict(algorithm=mc.Metropolis, pool=pool, seed=7),
+        dict(algorithm=mc.StoreTrajectories, scheduler=times),
+    ], steps, path=path)
+    sim.run()
+    pos = np.concatenate([
+        np.loadtxt(f)[1:, 1] for f in glob.glob(
+            os.path.join(path, "trajectories", "*", "trajectory.dat"))])
+
+    edges = np.linspace(-3.0, 3.0, 61)
+    hist, _ = np.histogram(pos, bins=edges, density=True)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    target = np.exp(-beta * np.asarray(
+        [p1d.double_well(x) for x in centers]))
+    target /= np.trapezoid(target, centers)
+    width = edges[1] - edges[0]
+    tv = 0.5 * np.sum(np.abs(hist - target)) * width
+    assert tv < 0.03, f"total variation {tv}"
+    # both wells populated symmetrically-ish
+    frac_right = (pos > 0).mean()
+    assert 0.4 < frac_right < 0.6
