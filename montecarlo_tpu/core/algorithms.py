@@ -121,6 +121,14 @@ class ObservableRecorder(Algorithm):
         """Host-side write of one observation (``value`` is numpy)."""
         raise NotImplementedError
 
+    def write_batch(self, sim, ts, value) -> None:
+        """Write a whole buffered chunk (leaves of ``value`` have a leading
+        time axis aligned with ``ts``).  Default: per-event loop; recorders
+        with dense schedules override this with vectorized formatting."""
+        for j, t in enumerate(ts):
+            self.write(sim, t, jax.tree_util.tree_map(
+                lambda x: x[j], value))
+
 
 class HostAlgorithm(Algorithm):
     """Arbitrary host-side work at scheduled steps."""
@@ -194,6 +202,15 @@ class StoreCallbacks(ObservableRecorder):
             f.write(f"{t} {_fmt_scalar(v)}\n")
             f.flush()
 
+    def write_batch(self, sim, ts, value):
+        if not _io_host():
+            return
+        for f, col in zip(self.files, value):
+            col = np.asarray(col)
+            f.write("".join(f"{t} {v!r}\n"
+                            for t, v in zip(ts, col.tolist())))
+            f.flush()
+
     def finalise(self, sim):
         if sim.verbose:
             print("Closing callback files...")
@@ -250,6 +267,20 @@ class StoreTrajectories(ObservableRecorder):
         for f, row in zip(self.files, rows):
             f.write(fmt(t, row) + "\n")
 
+    def write_batch(self, sim, ts, value):
+        if not _io_host():
+            return
+        fmt = self.system.format_frame
+        if isinstance(value, np.ndarray) and value.ndim == 2:
+            # scalar frames: one string join per chain instead of one
+            # f.write per (time, chain) pair
+            for c, f in enumerate(self.files):
+                col = value[:, c].tolist()
+                f.write("".join(
+                    fmt(t, v) + "\n" for t, v in zip(ts, col)))
+        else:
+            super().write_batch(sim, ts, value)
+
     def finalise(self, sim):
         if sim.verbose:
             print("Closing trajectory files...")
@@ -304,6 +335,11 @@ class StoreBackups(ObservableRecorder):
     pytree (chains + RNG keys + counters + move parameters + step), which
     ``montecarlo_tpu.checkpoint.restore`` can reload to resume a run.
     """
+
+    #: never fold backup events into buffered scan chunks — `write` snapshots
+    #: sim.device_state for the .npz checkpoint, which must be the state at
+    #: the event time, not at the end of a chunk
+    buffered_ok = False
 
     def __init__(self, sim, fmt: Format = DAT(), store_first: bool = False,
                  store_last: bool = False, checkpoint: bool = True,

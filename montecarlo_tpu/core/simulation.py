@@ -333,11 +333,10 @@ def _execute(sim: Simulation):
                 ds, bufs = run_chunk(ds, masks, first_dt,
                                      stride if stride else 1, n)
                 vals = jax.device_get(bufs)
-                for j in range(n):
-                    t_j = times[pos + j]
-                    for r, v in zip(recs, vals):
-                        r.write(sim, t_j, jax.tree_util.tree_map(
-                            lambda x: x[j], v))
+                ts = times[pos:pos + n]
+                for r, v in zip(recs, vals):
+                    r.write_batch(sim, ts, jax.tree_util.tree_map(
+                        lambda x: x[:n], v))
                 sim.t = times[pos + n - 1]
                 sim.device_state = ds
                 pos += n
