@@ -24,6 +24,14 @@ __all__ = ["save", "restore", "resume_state"]
 _KEY_MARK = "__prngkey__"
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Host transfer that all-gathers sharded multi-host leaves."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        leaf = multihost_utils.process_allgather(leaf, tiled=True)
+    return np.asarray(leaf)
+
+
 def _flatten_with_paths(tree):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     paths = ["/".join(str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
@@ -33,21 +41,26 @@ def _flatten_with_paths(tree):
 
 
 def save(path: str, dstate: Any) -> None:
-    """Serialise a device-state pytree to ``path`` (.npz)."""
+    """Serialise a device-state pytree to ``path`` (.npz).
+
+    Multi-host: collective (all processes must call it — sharded leaves are
+    all-gathered); only process 0 writes the file.
+    """
     paths, leaves, _ = _flatten_with_paths(dstate)
     arrays = {}
     meta = {}
     for i, (p, leaf) in enumerate(zip(paths, leaves)):
         name = f"leaf_{i}"
         if jnp.issubdtype(jnp.asarray(leaf).dtype, jax.dtypes.prng_key):
-            arrays[name] = np.asarray(jax.random.key_data(leaf))
+            arrays[name] = _to_host(jax.random.key_data(leaf))
             meta[name] = {"path": p, _KEY_MARK: str(jax.random.key_impl(leaf))}
         else:
-            arrays[name] = np.asarray(leaf)
+            arrays[name] = _to_host(leaf)
             meta[name] = {"path": p}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    if jax.process_index() == 0:
+        np.savez(path, **arrays)
 
 
 def restore(path: str, like: Any) -> Any:

@@ -311,10 +311,10 @@ class StoreLastFrames(Algorithm):
                      for c in range(sim.n_chains)]
 
     def finalise(self, sim):
+        from ..parallel.mesh import fetch
+        frames = fetch(jax.vmap(self.system.frame)(sim.device_state["sys"]))
         if not _io_host():
             return
-        frames = jax.device_get(
-            jax.vmap(self.system.frame)(sim.device_state["sys"]))
         t = int(sim.t)
         for d, row in zip(self.dirs, _unstack(frames)):
             os.makedirs(d, exist_ok=True)
@@ -364,17 +364,20 @@ class StoreBackups(ObservableRecorder):
         return jax.vmap(self.system.frame)(view.sys)
 
     def write(self, sim, t, value):
+        t = int(t)
+        if self.checkpoint:
+            # checkpoint serialisation all-gathers sharded leaves — a
+            # collective, so every process participates; only the IO host
+            # actually touches the filesystem inside save()
+            from .. import checkpoint as ckpt
+            ckpt.save(os.path.join(self.ckpt_dir, f"ckpt_t{t}.npz"),
+                      sim.device_state)
         if not _io_host():
             return
-        t = int(t)
         for d, row in zip(self.dirs, _unstack(value)):
             path = os.path.join(d, f"restart_t{t}{self.fmt.extension}")
             with open(path, "w") as f:
                 f.write(self.system.format_frame(t, row) + "\n")
-        if self.checkpoint:
-            from .. import checkpoint as ckpt
-            ckpt.save(os.path.join(self.ckpt_dir, f"ckpt_t{t}.npz"),
-                      sim.device_state)
 
 
 # ---------------------------------------------------------------------------

@@ -190,8 +190,16 @@ def _store_last(sim: Simulation):
 def _pull_and_write(sim, recorders, t):
     if not recorders:
         return
-    values = jax.device_get(
-        tuple(r.observable(sim.view(sim.device_state)) for r in recorders))
+
+    def observe(ds):
+        out = tuple(r.observable(sim.view(ds)) for r in recorders)
+        if sim.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(sim.mesh, PartitionSpec()))
+        return out
+
+    values = jax.device_get(jax.jit(observe)(sim.device_state))
     for r, v in zip(recorders, values):
         r.write(sim, t, v)
 
@@ -275,13 +283,24 @@ def _execute(sim: Simulation):
     observe_cache: Dict[tuple, Any] = {}
     chunk_cache: Dict[tuple, Any] = {}
 
+    if sim.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(sim.mesh, PartitionSpec())
+    else:
+        repl = None
+
     def make_observe(obs_ids):
         if obs_ids not in observe_cache:
             recs = [sim.algorithms[i] for i in obs_ids]
 
             def observe(ds):
                 v = sim.view(ds)
-                return tuple(r.observable(v) for r in recs)
+                out = tuple(r.observable(v) for r in recs)
+                if repl is not None:
+                    # replicate so every process can device_get the values
+                    # (multi-host: inserts the all-gather once, on device)
+                    out = jax.lax.with_sharding_constraint(out, repl)
+                return out
 
             observe_cache[obs_ids] = (observe, jax.jit(observe))
         return observe_cache[obs_ids]

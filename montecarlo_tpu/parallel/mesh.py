@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -52,14 +53,43 @@ def shard_device_state(dstate, mesh: Mesh, n_chains: int,
             "pad the chain count (extra independent chains are free)")
     sharded = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    multiproc = jax.process_count() > 1
+
+    def build(leaf, sharding):
+        if not multiproc:
+            return jax.device_put(leaf, sharding)
+        # Multi-host: every process computes the same full value
+        # deterministically; assemble the global array from local slices.
+        is_key = jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+        data = np.asarray(jax.random.key_data(leaf) if is_key else leaf)
+        arr = jax.make_array_from_callback(
+            data.shape, sharding, lambda idx: data[idx])
+        return jax.random.wrap_key_data(arr) if is_key else arr
 
     def place(leaf):
         leaf = jax.numpy.asarray(leaf)
         if leaf.ndim >= 1 and leaf.shape[0] == n_chains:
-            return jax.device_put(leaf, sharded)
-        return jax.device_put(leaf, repl)
+            return build(leaf, sharded)
+        return build(leaf, repl)
 
     return jax.tree_util.tree_map(place, dstate)
+
+
+def fetch(tree):
+    """Device→host transfer that works for sharded multi-host arrays
+    (all-gathers non-addressable leaves) and PRNG key arrays."""
+    def get(leaf):
+        if not isinstance(leaf, jax.Array):
+            return np.asarray(leaf)
+        is_key = jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+        if is_key:
+            leaf = jax.random.key_data(leaf)
+        if not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            leaf = multihost_utils.process_allgather(leaf, tiled=True)
+        return np.asarray(leaf)
+
+    return jax.tree_util.tree_map(get, tree)
 
 
 def replicate(tree, mesh: Mesh):
