@@ -42,6 +42,12 @@ def test_two_process_run_matches_single(tmp_path):
         out, _ = p.communicate(timeout=240)
         outs.append(out.decode())
     for p, out in zip(procs, outs):
+        if p.returncode != 0 and any(
+                s in out for s in ("jax_cpu_collectives",
+                                   "collectives_implementation",
+                                   "distributed.initialize")):
+            pytest.skip(f"multi-process CPU collectives unavailable: "
+                        f"{out[-300:]}")
         assert p.returncode == 0, out[-3000:]
 
     # single-process reference run with the exact same config (no mesh)
