@@ -240,6 +240,7 @@ class Metropolis(DeviceAlgorithm):
         self.seed = int(seed)
         self.n_chains = sim.n_chains
         self.n_moves = len(self.pool)
+        self.mesh = sim.mesh
         self.groups, self.group_of, self.within_of = build_move_groups(
             self.pool)
 
@@ -297,7 +298,8 @@ class Metropolis(DeviceAlgorithm):
         individual trajectories differ from the threefry path while the
         sampled distribution is identical.
         """
-        from ..ops.fused_sweep import fused_gaussian_sweep
+        from ..ops.fused_sweep import fused_gaussian_sweep, \
+            sharded_gaussian_sweep
         slc = dstate[self.state_key]
         sys = dstate["sys"]
         potential = self.pool[0].move.aux
@@ -307,9 +309,14 @@ class Metropolis(DeviceAlgorithm):
         # per-step seeding off the absolute micro-step index keeps results
         # invariant to how recorder schedules slice the run into segments
         micro_t0 = (t0 * self.sweepstep).astype(jnp.int32)
-        x, e, acc = fused_gaussian_sweep(
-            sys.x, sys.beta, sigma, jnp.int32(self.seed), micro_t0, total,
-            potential=potential)
+        if self.mesh is not None:
+            x, e, acc = sharded_gaussian_sweep(
+                self.mesh, self.mesh.axis_names[0], sys.x, sys.beta, sigma,
+                jnp.int32(self.seed), micro_t0, total, potential=potential)
+        else:
+            x, e, acc = fused_gaussian_sweep(
+                sys.x, sys.beta, sigma, jnp.int32(self.seed), micro_t0, total,
+                potential=potential)
         counters = slc["counters"] + jnp.stack(
             [acc, jnp.broadcast_to(total, acc.shape)], axis=-1)[:, None, :]
         new_sys = dataclasses.replace(sys, x=x, e=e)

@@ -239,7 +239,7 @@ def _select_advance(sim: Simulation):
     """Pick the device time-stepper: the fused Pallas segment kernel when the
     run is a single always-on Metropolis with a fusable pool (single-device),
     else the generic mask-scheduled loop."""
-    if (len(sim.device_algos) == 1 and sim.mesh is None
+    if (len(sim.device_algos) == 1
             and getattr(sim.device_algos[0], "supports_fused", False)):
         alg = sim.device_algos[0]
         sched = sim.schedulers[sim.algorithms.index(alg)]

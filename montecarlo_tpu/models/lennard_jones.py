@@ -209,13 +209,16 @@ def lj_displacement_move(sigma: float, weight: float = 1.0,
         i, delta = action["i"], action["delta"]
         n = state.pos.shape[0]
         mask = jnp.arange(n) == i
-        old = state.pos[i]
+        # one-hot reduce instead of dynamic gather, masked select instead of
+        # scatter: both vectorize on the VPU (TPU gathers/scatters serialise)
+        old = jnp.sum(jnp.where(mask[:, None], state.pos, 0.0), axis=0)
+        s_i = jnp.sum(jnp.where(mask, state.species, 0)).astype(
+            state.species.dtype)
         new = old + delta
-        s_i = state.species[i]
         e_old = _row_energy(state, old, s_i, mask, params)
         e_new = _row_energy(state, new, s_i, mask, params)
         d_e = e_new - e_old
-        pos = state.pos.at[i].set(new % state.box)
+        pos = jnp.where(mask[:, None], new % state.box, state.pos)
         new_state = dataclasses.replace(
             state, pos=pos, energy=state.energy + d_e)
         return new_state, -state.beta * d_e
@@ -271,9 +274,15 @@ def lj_swap_move(weight: float = 1.0,
     def apply(state: LJState, action):
         i, j = action["i"], action["j"]
         n = state.pos.shape[0]
-        mask_ij = (jnp.arange(n) == i) | (jnp.arange(n) == j)
-        s_i, s_j = state.species[i], state.species[j]
-        x_i, x_j = state.pos[i], state.pos[j]
+        idx = jnp.arange(n)
+        mask_i, mask_j = idx == i, idx == j
+        mask_ij = mask_i | mask_j
+        gather_s = lambda m: jnp.sum(
+            jnp.where(m, state.species, 0)).astype(state.species.dtype)
+        gather_x = lambda m: jnp.sum(
+            jnp.where(m[:, None], state.pos, 0.0), axis=0)
+        s_i, s_j = gather_s(mask_i), gather_s(mask_j)
+        x_i, x_j = gather_x(mask_i), gather_x(mask_j)
         # old identity rows (exclude both i and j; the ij pair handled apart)
         e_old = (_row_energy(state, x_i, s_i, mask_ij, params)
                  + _row_energy(state, x_j, s_j, mask_ij, params))
@@ -282,7 +291,8 @@ def lj_swap_move(weight: float = 1.0,
         # i-j pair: species pair is unchanged by the swap (s_i,s_j)->(s_j,s_i)
         # and eps/sig tables are symmetric, so its energy cancels in ΔE.
         d_e = e_new - e_old
-        species = state.species.at[i].set(s_j).at[j].set(s_i)
+        species = jnp.where(mask_i, s_j,
+                            jnp.where(mask_j, s_i, state.species))
         new_state = dataclasses.replace(
             state, species=species, energy=state.energy + d_e)
         return new_state, -state.beta * d_e

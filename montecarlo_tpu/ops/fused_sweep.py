@@ -142,3 +142,33 @@ def fused_gaussian_sweep(x, beta, sigma, seed, t0, n_steps, *, potential,
     )
     flat = lambda a: a.reshape(-1)[:m]
     return flat(x_out), flat(e_out), flat(acc)
+
+
+def sharded_gaussian_sweep(mesh, axis, x, beta, sigma, seed, t0, n_steps, *,
+                           potential, interpret=False):
+    """Multi-device fused sweep: each shard runs the VMEM-resident kernel on
+    its local chains under ``shard_map``, with the shard index folded into
+    the PRNG seed so shards draw independent streams.
+
+    Reproducible for a fixed mesh layout; unlike the generic per-chain
+    fold_in path, the hardware-PRNG stream is block-indexed, so results
+    depend on the shard count (documented trade-off of the fast path).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local(x_l, beta_l, sigma_l, seed_l, t0_l, n_l):
+        sidx = jax.lax.axis_index(axis)
+        shard_seed = (seed_l
+                      + (sidx.astype(jnp.int32) + 1) * jnp.int32(-1640531527))
+        return fused_gaussian_sweep(x_l, beta_l, sigma_l, shard_seed, t0_l,
+                                    n_l, potential=potential,
+                                    interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+                   out_specs=(P(axis), P(axis), P(axis)),
+                   check_vma=False)
+    return fn(x, beta, jnp.asarray(sigma, jnp.float32),
+              jnp.asarray(seed, jnp.int32), jnp.asarray(t0, jnp.int32),
+              jnp.asarray(n_steps, jnp.int32))
