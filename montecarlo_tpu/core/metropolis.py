@@ -226,7 +226,7 @@ class Metropolis(DeviceAlgorithm):
     state_key = "metropolis"
 
     def __init__(self, sim, pool: Sequence[Move] = (), sweepstep: int = 1,
-                 seed: int = 1, dependencies=(), **_):
+                 seed: int = 1, rng_impl: str = None, dependencies=(), **_):
         if not pool:
             raise ValueError("Metropolis requires a non-empty move pool")
         self.pool = tuple(pool)
@@ -238,6 +238,9 @@ class Metropolis(DeviceAlgorithm):
             np.log(self.weights / self.weights.sum()))
         self.sweepstep = int(sweepstep)
         self.seed = int(seed)
+        # counter-based PRNG family (ref exposes R::DataType=Xoshiro,
+        # src/metropolis.jl:245); JAX impls: threefry2x32 (default), rbg, ...
+        self.rng_impl = rng_impl
         self.n_chains = sim.n_chains
         self.n_moves = len(self.pool)
         self.mesh = sim.mesh
@@ -246,7 +249,8 @@ class Metropolis(DeviceAlgorithm):
 
     # -- device-state slice ------------------------------------------------
     def init_state(self, sim):
-        base = jax.random.key(self.seed)
+        base = (jax.random.key(self.seed, impl=self.rng_impl)
+                if self.rng_impl else jax.random.key(self.seed))
         chain_ids = jnp.arange(self.n_chains, dtype=jnp.uint32)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(base, chain_ids)
         counters = jnp.zeros((self.n_chains, self.n_moves, 2), jnp.int32)

@@ -59,6 +59,10 @@ class Simulation:
                  mesh=None):
         self.system = system
         self.mesh = mesh
+        if isinstance(chains, (list,)) and chains:
+            # reference-style "vector of systems" input: stack to chain-major
+            from .system import stack_chains
+            chains = stack_chains(chains)
         self.chains0 = chains
         leaves = jax.tree_util.tree_leaves(chains)
         if not leaves:
