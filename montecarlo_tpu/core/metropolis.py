@@ -283,15 +283,20 @@ class Metropolis(DeviceAlgorithm):
                 self.state_key: {**slc, "counters": counters}}
 
     # -- fused Pallas fast path -------------------------------------------
+    _FUSED_KINDS = ("gaussian_displacement_1d", "lj_displacement_2d")
+
     @property
     def supports_fused(self) -> bool:
-        """True when the pool is a single symmetric-Gaussian 1-D displacement
-        move, which the Pallas VMEM-resident sweep kernel
-        (``ops/fused_sweep.py``) can run at speed-of-light.  Auto-selected by
-        the orchestrator on TPU for single-device runs."""
-        return (self.n_moves == 1
-                and self.pool[0].move.kind == "gaussian_displacement_1d"
-                and jax.default_backend() == "tpu")
+        """True when the pool is a single move with a recognised structural
+        kind, runnable by a Pallas VMEM-resident sweep kernel
+        (``ops/fused_sweep.py`` / ``ops/lj_sweep.py``).  Auto-selected by the
+        orchestrator on TPU."""
+        kind = self.pool[0].move.kind if self.n_moves == 1 else ""
+        if kind not in self._FUSED_KINDS:
+            return False
+        if kind == "lj_displacement_2d" and self.mesh is not None:
+            return False  # LJ kernel has no shard_map wrapper yet
+        return jax.default_backend() == "tpu"
 
     def fused_advance(self, dstate, n_steps):
         """Advance all chains ``n_steps * sweepstep`` MH steps in one Pallas
@@ -302,28 +307,41 @@ class Metropolis(DeviceAlgorithm):
         individual trajectories differ from the threefry path while the
         sampled distribution is identical.
         """
-        from ..ops.fused_sweep import fused_gaussian_sweep, \
-            sharded_gaussian_sweep
         slc = dstate[self.state_key]
         sys = dstate["sys"]
-        potential = self.pool[0].move.aux
         sigma = jax.tree_util.tree_leaves(dstate["params"][0])[0]
         t0 = dstate["t"]
         total = (n_steps * self.sweepstep).astype(jnp.int32)
         # per-step seeding off the absolute micro-step index keeps results
         # invariant to how recorder schedules slice the run into segments
         micro_t0 = (t0 * self.sweepstep).astype(jnp.int32)
-        if self.mesh is not None:
-            x, e, acc = sharded_gaussian_sweep(
-                self.mesh, self.mesh.axis_names[0], sys.x, sys.beta, sigma,
-                jnp.int32(self.seed), micro_t0, total, potential=potential)
-        else:
-            x, e, acc = fused_gaussian_sweep(
-                sys.x, sys.beta, sigma, jnp.int32(self.seed), micro_t0, total,
-                potential=potential)
+        kind = self.pool[0].move.kind
+        if kind == "gaussian_displacement_1d":
+            from ..ops.fused_sweep import fused_gaussian_sweep, \
+                sharded_gaussian_sweep
+            potential = self.pool[0].move.aux
+            if self.mesh is not None:
+                x, e, acc = sharded_gaussian_sweep(
+                    self.mesh, self.mesh.axis_names[0], sys.x, sys.beta,
+                    sigma, jnp.int32(self.seed), micro_t0, total,
+                    potential=potential)
+            else:
+                x, e, acc = fused_gaussian_sweep(
+                    sys.x, sys.beta, sigma, jnp.int32(self.seed), micro_t0,
+                    total, potential=potential)
+            new_sys = dataclasses.replace(sys, x=x, e=e)
+        elif kind == "lj_displacement_2d":
+            from ..ops.lj_sweep import fused_lj_sweep
+            lj_params = self.pool[0].move.aux
+            pos, energy, acc = fused_lj_sweep(
+                sys.pos, sys.species, sys.beta, sys.energy, sys.box[0],
+                sigma, jnp.int32(self.seed), micro_t0, total,
+                params=lj_params)
+            new_sys = dataclasses.replace(sys, pos=pos, energy=energy)
+        else:  # pragma: no cover - guarded by supports_fused
+            raise ValueError(f"no fused kernel for move kind {kind!r}")
         counters = slc["counters"] + jnp.stack(
             [acc, jnp.broadcast_to(total, acc.shape)], axis=-1)[:, None, :]
-        new_sys = dataclasses.replace(sys, x=x, e=e)
         return {**dstate, "sys": new_sys, "t": (t0 + n_steps).astype(jnp.int32),
                 self.state_key: {**slc, "counters": counters}}
 
