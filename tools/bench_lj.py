@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def bench(n_chains, n_particles, mixed, n_sweeps):
     import montecarlo_tpu as mc
-    from montecarlo_tpu.core.simulation import _make_advance
+    from montecarlo_tpu.core.simulation import _select_advance
     from montecarlo_tpu.models import lennard_jones as lj
 
     params = lj.LJParams()
@@ -38,7 +38,7 @@ def bench(n_chains, n_particles, mixed, n_sweeps):
         n_sweeps, path="/tmp/mctpu_lj_bench")
     ds = sim.init_device_state()
     masks = (jnp.ones(n_sweeps + 1, bool),)
-    adv = jax.jit(_make_advance(sim.device_algos, always_on=(True,)))
+    adv = jax.jit(_select_advance(sim))  # fused Pallas path when eligible
     out = adv(ds, masks, n_sweeps)
     float(out["sys"].energy.sum())
     best = float("inf")
