@@ -27,7 +27,7 @@ from __future__ import annotations
 import datetime
 import os
 import time
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

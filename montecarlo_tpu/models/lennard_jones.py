@@ -16,8 +16,6 @@ from (2, 2) tables — Kob-Andersen-style binary mixtures for swap moves.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.moves import Move, MoveDef, Policy
 from ..core.system import SystemDef

@@ -22,8 +22,7 @@ from jax.flatten_util import ravel_pytree
 
 from ..core.algorithms import DeviceAlgorithm
 from ..core.metropolis import Metropolis
-from .gradients import GradientData, add, init_gradient_data, \
-    sample_gradient_data
+from .gradients import add, init_gradient_data, sample_gradient_data
 from .learning import PolicyGradient, Static
 
 __all__ = ["PolicyGradientEstimator"]

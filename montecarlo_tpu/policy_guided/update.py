@@ -13,7 +13,6 @@ here, then reset (``update.jl:52-54``).
 
 from __future__ import annotations
 
-import jax
 from jax.flatten_util import ravel_pytree
 
 from ..core.algorithms import DeviceAlgorithm
