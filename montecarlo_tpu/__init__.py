@@ -21,6 +21,7 @@ from .core.algorithms import (Algorithm, DeviceAlgorithm, HostAlgorithm,
                               StoreCallbacks, StoreTrajectories,
                               StoreLastFrames, StoreBackups, PrintTimeSteps)
 from .core.simulation import Simulation, build_schedule, run
+from .core.tempering import ReplicaExchange, callback_swap_rate, tile_ladder
 from .utils.observability import ProfilerTrace, Throughput
 from . import checkpoint
 from . import parallel
@@ -38,6 +39,7 @@ __all__ = [
     "StoreCallbacks", "StoreTrajectories", "StoreLastFrames", "StoreBackups",
     "PrintTimeSteps",
     "Simulation", "build_schedule", "run",
+    "ReplicaExchange", "tile_ladder", "callback_swap_rate",
     "Throughput", "ProfilerTrace",
     "checkpoint", "parallel", "policy_guided",
 ]

@@ -1,3 +1,3 @@
-from . import ising, lennard_jones, particle1d
+from . import ising, ising2d, lennard_jones, particle1d
 
-__all__ = ["ising", "lennard_jones", "particle1d"]
+__all__ = ["ising", "ising2d", "lennard_jones", "particle1d"]
