@@ -23,6 +23,7 @@ from .core.algorithms import (Algorithm, DeviceAlgorithm, HostAlgorithm,
 from .core.simulation import Simulation, build_schedule, run
 from .core.tempering import ReplicaExchange, callback_swap_rate, tile_ladder
 from .utils.observability import ProfilerTrace, Throughput
+from .utils import analysis
 from . import checkpoint
 from . import parallel
 from . import policy_guided
@@ -40,6 +41,6 @@ __all__ = [
     "PrintTimeSteps",
     "Simulation", "build_schedule", "run",
     "ReplicaExchange", "tile_ladder", "callback_swap_rate",
-    "Throughput", "ProfilerTrace",
+    "Throughput", "ProfilerTrace", "analysis",
     "checkpoint", "parallel", "policy_guided",
 ]

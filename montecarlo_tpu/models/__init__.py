@@ -1,3 +1,3 @@
-from . import ising, ising2d, lennard_jones, particle1d
+from . import ising, ising2d, lennard_jones, particle1d, potts
 
-__all__ = ["ising", "ising2d", "lennard_jones", "particle1d"]
+__all__ = ["ising", "ising2d", "lennard_jones", "particle1d", "potts"]

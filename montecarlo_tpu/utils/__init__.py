@@ -1,0 +1,3 @@
+from . import analysis, observability
+
+__all__ = ["analysis", "observability"]
