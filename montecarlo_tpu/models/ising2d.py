@@ -148,9 +148,20 @@ def checkerboard_half_sweep(state: Ising2DState, parity, key):
 
     Returns ``(new_state, n_accepted)`` with ``n_accepted`` counting flips on
     this half-sweep (attempts = L²/2).
+
+    Requires even lattice dimensions: with periodic boundaries and an odd L
+    the (i+j) % 2 colouring is NOT a proper 2-colouring — wrap-around
+    neighbours like (i, 0) and (i, L-1) land on the same sublattice, so
+    simultaneous updates of interacting sites would bias the sampled
+    distribution and corrupt the cached energy.
     """
     s = state.spins
     lx, ly = s.shape
+    if lx % 2 or ly % 2:
+        raise ValueError(
+            f"checkerboard sweeps need even lattice dimensions, got "
+            f"({lx}, {ly}): the parity mask is not a proper 2-colouring of a "
+            f"periodic odd lattice (wrap-around neighbours share a parity)")
     ii, kk = jnp.meshgrid(jnp.arange(lx), jnp.arange(ly), indexing="ij")
     mask = ((ii + kk) % 2) == parity
     d_e = 2.0 * state.j * s.astype(jnp.float32) * _neighbour_sum(s)
@@ -192,6 +203,12 @@ class CheckerboardMetropolis(DeviceAlgorithm):
         self.n_chains = sim.n_chains
         spins = sim.chains0.spins
         self.lattice_shape = tuple(int(d) for d in spins.shape[1:])
+        if any(d % 2 for d in self.lattice_shape):
+            raise ValueError(
+                f"{type(self).__name__} needs even lattice dimensions, got "
+                f"{self.lattice_shape}: on a periodic odd lattice the parity "
+                f"mask is not a proper 2-colouring (wrap-around neighbours "
+                f"share a parity), which would bias the sampled distribution")
 
     def init_state(self, sim):
         base = jax.random.key(self.seed)
@@ -332,6 +349,16 @@ class WolffCluster(DeviceAlgorithm):
         self.n_chains = sim.n_chains
         spins = sim.chains0.spins
         self.lattice_shape = tuple(int(d) for d in spins.shape[1:])
+        # The Wolff bond probability p = 1 - exp(-2 beta J) is derived for
+        # the ferromagnetic model; with J <= 0 no bonds ever activate and the
+        # sampler silently degenerates to flipping the seed spin with
+        # probability 1, violating detailed balance.
+        j = np.asarray(sim.chains0.j)
+        if not np.all(j > 0):
+            raise ValueError(
+                f"WolffCluster requires a ferromagnetic coupling J > 0 on "
+                f"every chain (got min J = {j.min()}); the bond probability "
+                f"1 - exp(-2 beta J) is only a valid cluster rule for J > 0")
 
     def init_state(self, sim):
         base = jax.random.key(self.seed)

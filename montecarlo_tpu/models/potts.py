@@ -52,7 +52,9 @@ class PottsState:
 
 
 def _bond_matches(spins):
-    """Number of matching right+down bonds per site (counts each bond once)."""
+    """Per-site matches with the up and left neighbours (roll(+1) compares
+    each site against its predecessor along the axis); summed over the
+    lattice this counts every nearest-neighbour bond exactly once."""
     s = spins
     return ((s == jnp.roll(s, 1, axis=0)).astype(jnp.float32)
             + (s == jnp.roll(s, 1, axis=1)).astype(jnp.float32))
@@ -179,9 +181,18 @@ def checkerboard_half_sweep(state: PottsState, q: int, parity, key):
     Each site of the active parity draws a uniform proposal among the other
     ``q - 1`` colours and accepts with ``min(1, exp(-beta dE))``; conditioned
     on the frozen sublattice these L²/2 tests are independent.
+
+    Requires even lattice dimensions — on a periodic odd lattice the
+    (i+j) % 2 mask puts wrap-around neighbours (e.g. (i, 0) and (i, L-1)) on
+    the same sublattice, so simultaneous updates would bias the distribution.
     """
     s = state.spins
     lx, ly = s.shape
+    if lx % 2 or ly % 2:
+        raise ValueError(
+            f"checkerboard sweeps need even lattice dimensions, got "
+            f"({lx}, {ly}): the parity mask is not a proper 2-colouring of a "
+            f"periodic odd lattice (wrap-around neighbours share a parity)")
     k_col, k_acc = jax.random.split(key)
     ii, kk = jnp.meshgrid(jnp.arange(lx), jnp.arange(ly), indexing="ij")
     mask = ((ii + kk) % 2) == parity

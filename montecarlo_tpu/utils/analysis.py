@@ -124,6 +124,11 @@ def summary(x: np.ndarray, c: float = 5.0) -> SeriesStats:
     if x.ndim == 2 and x.shape[1] == 2:
         x = x[:, 1]
     x = x.ravel()
+    if x.size == 1:
+        # autocorrelation() needs n >= 2; a single sample still has a
+        # well-defined (if useless) summary.
+        return SeriesStats(mean=float(x[0]), error=0.0, std=0.0,
+                           tau_int=1.0, n=1, n_eff=1.0)
     tau = integrated_autocorr_time(x, c=c)
     var = x.var(ddof=1) if x.size > 1 else 0.0
     err = float(np.sqrt(var * tau / x.size))

@@ -69,3 +69,10 @@ def test_degenerate_inputs():
     rho = analysis.autocorrelation(np.ones(100))   # constant series
     assert rho[0] == 1.0 and np.all(rho[1:] == 0.0)
     assert analysis.integrated_autocorr_time(np.ones(100)) >= 0.0
+
+
+def test_summary_single_sample():
+    stats = analysis.summary(np.array([3.5]))
+    assert stats.mean == 3.5
+    assert stats.error == 0.0 and stats.std == 0.0
+    assert stats.tau_int == 1.0 and stats.n == 1 and stats.n_eff == 1.0

@@ -14,15 +14,16 @@ from montecarlo_tpu.models import potts
 Q, L, BETA = 3, 3, 0.5
 
 
-def _run_and_read(tmp_path, algo_spec, n_chains, steps, burn, seed):
-    chains = potts.init_chains(n_chains, L, q=Q, beta=BETA, seed=seed)
+def _run_and_read(tmp_path, algo_spec, n_chains, steps, burn, seed,
+                  q=Q, size=L, beta=BETA):
+    chains = potts.init_chains(n_chains, size, q=q, beta=beta, seed=seed)
     sched = mc.build_schedule(steps, burn, 1)
     sim = mc.Simulation(
-        potts.make_system(Q), chains,
+        potts.make_system(q), chains,
         [algo_spec,
          dict(algorithm=mc.StoreCallbacks,
               callbacks=[potts.callback_energy_per_spin,
-                         potts.callback_order_parameter(Q)],
+                         potts.callback_order_parameter(q)],
               scheduler=sched)],
         steps, path=str(tmp_path))
     sim.run()
@@ -32,12 +33,27 @@ def _run_and_read(tmp_path, algo_spec, n_chains, steps, burn, seed):
 
 
 def test_checkerboard_matches_exact_enumeration(tmp_path):
-    e_exact, m_exact = potts.exact_moments(L, Q, BETA)
+    # Checkerboard sweeps need an even lattice (the periodic odd lattice is
+    # not bipartite), so this path is checked at q=2, L=4 — still exactly
+    # enumerable (2^16 states).  The q=3/L=3 case stays with the single-site
+    # recolour path below.
+    q, size = 2, 4
+    e_exact, m_exact = potts.exact_moments(size, q, BETA)
     e, m = _run_and_read(
-        tmp_path, dict(algorithm=potts.CheckerboardPotts(Q), seed=11),
-        n_chains=128, steps=1500, burn=300, seed=7)
+        tmp_path, dict(algorithm=potts.CheckerboardPotts(q), seed=11),
+        n_chains=128, steps=1500, burn=300, seed=7, q=q, size=size)
     assert abs(e - e_exact) < 0.03
     assert abs(m - m_exact) < 0.03
+
+
+def test_checkerboard_rejects_odd_lattice(tmp_path):
+    chains = potts.init_chains(8, 3, q=3, beta=BETA, seed=1)
+    import pytest
+    with pytest.raises(ValueError, match="even lattice"):
+        mc.Simulation(
+            potts.make_system(3), chains,
+            [dict(algorithm=potts.CheckerboardPotts(3), seed=2)],
+            10, path=str(tmp_path))
 
 
 def test_single_recolor_matches_exact_enumeration(tmp_path):

@@ -93,3 +93,16 @@ def test_wolff_cluster_spans_at_low_temperature():
         chains, jax.random.split(jax.random.key(7), 4))
     assert np.all(np.asarray(size) == 36)
     assert np.all(np.asarray(st.spins) == -1)
+
+
+def test_wolff_rejects_antiferromagnetic_coupling(tmp_path):
+    """p = 1 - exp(-2 beta J) is only a valid cluster rule for J > 0; the
+    driver must refuse J <= 0 instead of silently violating detailed
+    balance."""
+    import pytest
+    chains = ising2d.init_chains(4, L, beta=0.5, j=-1.0, seed=1)
+    with pytest.raises(ValueError, match="J > 0"):
+        mc.Simulation(
+            ising2d.make_system(), chains,
+            [dict(algorithm=ising2d.WolffCluster, seed=2)],
+            10, path=str(tmp_path))
