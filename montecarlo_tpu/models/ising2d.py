@@ -38,6 +38,7 @@ from ..core.system import SystemDef
 
 __all__ = ["Ising2DState", "make_system", "init_chains", "spin_flip_move",
            "CheckerboardMetropolis", "WolffCluster", "wolff_step",
+           "SwendsenWang", "swendsen_wang_step",
            "exact_moments",
            "callback_energy_per_spin", "callback_magnetisation",
            "callback_checkerboard_acceptance", "callback_mean_cluster_size"]
@@ -288,6 +289,8 @@ def wolff_step(state: Ising2DState, key):
 
     Returns ``(new_state, cluster_size)``.
     """
+    from ..ops.cluster import seed_component_mask
+
     s = state.spins
     lx, ly = s.shape
     k_seed, k_right, k_down = jax.random.split(key, 3)
@@ -301,25 +304,7 @@ def wolff_step(state: Ising2DState, key):
         jax.random.uniform(k_down, (lx, ly)) < p_bond)
 
     site = jax.random.randint(k_seed, (), 0, lx * ly)
-    mask = jnp.zeros((lx * ly,), bool).at[site].set(True).reshape(lx, ly)
-
-    def dilate(mask):
-        return (mask
-                | jnp.roll(mask & act_right, 1, axis=1)            # → right
-                | (jnp.roll(mask, -1, axis=1) & act_right)         # → left
-                | jnp.roll(mask & act_down, 1, axis=0)             # → down
-                | (jnp.roll(mask, -1, axis=0) & act_down))         # → up
-
-    def cond(carry):
-        _, changed = carry
-        return changed
-
-    def body(carry):
-        mask, _ = carry
-        new = dilate(mask)
-        return new, jnp.any(new != mask)
-
-    mask, _ = jax.lax.while_loop(cond, body, (mask, jnp.asarray(True)))
+    mask = seed_component_mask(act_right, act_down, site)
 
     spins = jnp.where(mask, -s, s)
     energy = _total_energy(spins, state.j)
@@ -404,6 +389,119 @@ def callback_mean_cluster_size(view: SimView):
     tot = counters[..., 0].astype(jnp.float32)
     n = counters[..., 1].astype(jnp.float32)
     return jnp.mean(tot / jnp.maximum(n, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Path 4: Swendsen–Wang (whole-lattice Fortuin–Kasteleyn cluster updates)
+# ---------------------------------------------------------------------------
+
+def swendsen_wang_step(state: Ising2DState, key):
+    """One Swendsen–Wang sweep: decompose the WHOLE lattice into
+    Fortuin–Kasteleyn clusters and resample every cluster's spin at once.
+
+    Where :func:`wolff_step` grows one cluster from a seed, Swendsen–Wang
+    activates every aligned bond with ``p = 1 - exp(-2 beta J)``, labels all
+    activated-bond components in one shot
+    (:func:`~montecarlo_tpu.ops.cluster.component_labels` — min-label
+    propagation with pointer jumping, O(log L) fused (L, L) vector sweeps),
+    and assigns each component a fresh uniform spin by indexing a per-site
+    random array with the component id.  Rejection-free, updates all L² sites
+    per step, and — unlike the checkerboard sweep — valid on odd lattices
+    (no 2-colouring involved).
+
+    Returns ``(new_state, n_clusters)``.
+    """
+    s = state.spins
+    lx, ly = s.shape
+    k_right, k_down, k_spin = jax.random.split(key, 3)
+
+    p_bond = 1.0 - jnp.exp(-2.0 * state.beta * state.j)
+    act_right = (s == jnp.roll(s, -1, axis=1)) & (
+        jax.random.uniform(k_right, (lx, ly)) < p_bond)
+    act_down = (s == jnp.roll(s, -1, axis=0)) & (
+        jax.random.uniform(k_down, (lx, ly)) < p_bond)
+
+    from ..ops.cluster import component_labels
+    labels = component_labels(act_right, act_down)
+
+    # one independent ±1 per potential cluster id = per site; a cluster reads
+    # the draw of its canonical (minimum-index) site
+    fresh = 2 * jax.random.bernoulli(
+        k_spin, 0.5, (lx * ly,)).astype(s.dtype) - 1
+    spins = fresh[labels.reshape(-1)].reshape(lx, ly)
+
+    energy = _total_energy(spins, state.j)
+    new_state = dataclasses.replace(state, spins=spins, energy=energy)
+    # number of clusters = number of sites that are their own canonical label
+    own = jnp.arange(lx * ly, dtype=jnp.int32).reshape(lx, ly)
+    n_clusters = jnp.sum((labels == own).astype(jnp.int32))
+    return new_state, n_clusters
+
+
+class SwendsenWang(DeviceAlgorithm):
+    """Swendsen–Wang driver for the 2-D Ising family.
+
+    Same lifecycle/device-state contract as the other lattice drivers:
+    counter-based per-chain RNG streams and a counters slice —
+    ``counters[chain, 0] = (total clusters resampled, sweeps)``.
+
+    Like :class:`WolffCluster` this requires ferromagnetic J > 0 (the FK bond
+    probability ``1 - exp(-2 beta J)`` is only a valid coupling for J > 0).
+    """
+
+    state_key = "swendsen_wang"
+
+    def __init__(self, sim, sweeps: int = 1, seed: int = 1,
+                 dependencies=(), **_):
+        self.sweeps = int(sweeps)
+        self.seed = int(seed)
+        self.n_chains = sim.n_chains
+        spins = sim.chains0.spins
+        self.lattice_shape = tuple(int(d) for d in spins.shape[1:])
+        j = np.asarray(sim.chains0.j)
+        if not np.all(j > 0):
+            raise ValueError(
+                f"SwendsenWang requires a ferromagnetic coupling J > 0 on "
+                f"every chain (got min J = {j.min()}); the FK bond "
+                f"probability 1 - exp(-2 beta J) is only valid for J > 0")
+
+    def init_state(self, sim):
+        base = jax.random.key(self.seed)
+        chain_ids = jnp.arange(self.n_chains, dtype=jnp.uint32)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(base, chain_ids)
+        counters = jnp.zeros((self.n_chains, 1, 2), jnp.int32)
+        return {"keys": keys, "counters": counters}
+
+    def step(self, dstate, t):
+        slc = dstate[self.state_key]
+        step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+            slc["keys"], t.astype(jnp.uint32))
+
+        def one_chain(st, key):
+            keys = jax.random.split(key, self.sweeps)
+
+            def body(carry, k):
+                st, nc = carry
+                st, n = swendsen_wang_step(st, k)
+                return (st, nc + n), None
+
+            (st, nc), _ = jax.lax.scan(
+                body, (st, jnp.zeros((), jnp.int32)), keys)
+            return st, nc
+
+        sys, nc = jax.vmap(one_chain)(dstate["sys"], step_keys)
+        inc = jnp.stack(
+            [nc, jnp.full_like(nc, self.sweeps)], axis=-1)[:, None, :]
+        return {**dstate, "sys": sys,
+                self.state_key: {**slc, "counters": slc["counters"] + inc}}
+
+    def write_summary(self, io, scheduler):
+        from ..core.algorithms import _n_calls
+        io.write("\tSwendsenWang\n")
+        io.write(f"\t\tCalls: {_n_calls(scheduler)}\n")
+        io.write(f"\t\tLattice sweeps per simulation step: {self.sweeps}\n")
+        io.write(f"\t\tLattice: {self.lattice_shape}\n")
+        io.write(f"\t\tSeed: {self.seed}\n")
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,9 @@ from ..core.moves import Move, MoveDef, Policy
 from ..core.system import SystemDef
 
 __all__ = ["PottsState", "make_system", "init_chains", "color_flip_move",
-           "checkerboard_sweep", "CheckerboardPotts", "exact_moments",
+           "checkerboard_sweep", "CheckerboardPotts",
+           "wolff_step", "swendsen_wang_step", "WolffPotts",
+           "SwendsenWangPotts", "exact_moments",
            "callback_energy_per_spin", "callback_order_parameter"]
 
 
@@ -262,6 +264,200 @@ def CheckerboardPotts(q: int):
 
     _CheckerboardPotts.__name__ = f"CheckerboardPotts_q{q}"
     return _CheckerboardPotts
+
+
+# ---------------------------------------------------------------------------
+# Path 3: cluster algorithms (Wolff + Swendsen–Wang via FK representation)
+# ---------------------------------------------------------------------------
+
+def _active_bonds(state: PottsState, k_right, k_down):
+    """Fortuin–Kasteleyn bond activation: same-colour nearest-neighbour bonds
+    are active with ``p = 1 - exp(-beta J)`` (note the Potts factor — the
+    delta-Hamiltonian bond energy gap is J, not 2J as in Ising)."""
+    s = state.spins
+    lx, ly = s.shape
+    p_bond = 1.0 - jnp.exp(-state.beta * state.j)
+    act_right = (s == jnp.roll(s, -1, axis=1)) & (
+        jax.random.uniform(k_right, (lx, ly)) < p_bond)
+    act_down = (s == jnp.roll(s, -1, axis=0)) & (
+        jax.random.uniform(k_down, (lx, ly)) < p_bond)
+    return act_right, act_down
+
+
+def wolff_step(state: PottsState, q: int, key):
+    """One Wolff cluster move for the q-state Potts model.
+
+    Grow the FK cluster of a uniformly chosen seed through same-colour bonds
+    activated with ``p = 1 - exp(-beta J)``, then recolour the whole cluster
+    to one of the other ``q - 1`` colours uniformly.  Rejection-free and
+    detailed-balanced (the proposal is symmetric between the old and new
+    colourings; the bond weights cancel exactly as in the Ising case).
+
+    Cluster growth is the fused-vector dilation of
+    :func:`~montecarlo_tpu.ops.cluster.seed_component_mask` — no sequential
+    flood fill.  Returns ``(new_state, cluster_size)``.
+    """
+    from ..ops.cluster import seed_component_mask
+
+    s = state.spins
+    lx, ly = s.shape
+    k_seed, k_right, k_down, k_col = jax.random.split(key, 4)
+    act_right, act_down = _active_bonds(state, k_right, k_down)
+
+    site = jax.random.randint(k_seed, (), 0, lx * ly)
+    mask = seed_component_mask(act_right, act_down, site)
+
+    old = s.reshape(-1)[site].astype(jnp.int32)
+    r = jax.random.randint(k_col, (), 0, q - 1)
+    new = (r + (r >= old)).astype(s.dtype)      # uniform over colours != old
+    spins = jnp.where(mask, new, s)
+    energy = _total_energy(spins, state.j)
+    new_state = dataclasses.replace(state, spins=spins, energy=energy)
+    return new_state, jnp.sum(mask, dtype=jnp.int32)
+
+
+def swendsen_wang_step(state: PottsState, q: int, key):
+    """One Swendsen–Wang sweep for the q-state Potts model.
+
+    Full FK decomposition: activate same-colour bonds with
+    ``p = 1 - exp(-beta J)``, label every activated-bond component
+    (:func:`~montecarlo_tpu.ops.cluster.component_labels`), and give each
+    component an independent uniform colour in ``{0, .., q-1}`` by indexing a
+    per-site random colour array with the component id.  Valid on odd
+    lattices (no bipartite colouring involved).
+
+    Returns ``(new_state, n_clusters)``.
+    """
+    from ..ops.cluster import component_labels
+
+    s = state.spins
+    lx, ly = s.shape
+    k_right, k_down, k_col = jax.random.split(key, 3)
+    act_right, act_down = _active_bonds(state, k_right, k_down)
+    labels = component_labels(act_right, act_down)
+
+    fresh = jax.random.randint(k_col, (lx * ly,), 0, q, dtype=s.dtype)
+    spins = fresh[labels.reshape(-1)].reshape(lx, ly)
+    energy = _total_energy(spins, state.j)
+    new_state = dataclasses.replace(state, spins=spins, energy=energy)
+    own = jnp.arange(lx * ly, dtype=jnp.int32).reshape(lx, ly)
+    n_clusters = jnp.sum((labels == own).astype(jnp.int32))
+    return new_state, n_clusters
+
+
+def _check_ferromagnetic(sim, name):
+    j = np.asarray(sim.chains0.j)
+    if not np.all(j > 0):
+        raise ValueError(
+            f"{name} requires a ferromagnetic coupling J > 0 on every chain "
+            f"(got min J = {j.min()}); the FK bond probability "
+            f"1 - exp(-beta J) is only valid for J > 0")
+
+
+def WolffPotts(q: int):
+    """DeviceAlgorithm factory: Wolff cluster driver bound to a static ``q``.
+
+    Usage: ``dict(algorithm=potts.WolffPotts(3), clusters=1, seed=...)``;
+    counters[chain, 0] = (total cluster size, clusters flipped), so
+    ``ising2d.callback_mean_cluster_size`` works unchanged if pointed at the
+    ``wolff`` state slice.
+    """
+    from .ising2d import WolffCluster
+
+    class _WolffPotts(WolffCluster):
+        def __init__(self, sim, clusters: int = 1, seed: int = 1,
+                     dependencies=(), **_):
+            self.clusters = int(clusters)
+            self.seed = int(seed)
+            self.n_chains = sim.n_chains
+            spins = sim.chains0.spins
+            self.lattice_shape = tuple(int(d) for d in spins.shape[1:])
+            _check_ferromagnetic(sim, type(self).__name__)
+
+        def step(self, dstate, t):
+            slc = dstate[self.state_key]
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+                slc["keys"], t.astype(jnp.uint32))
+
+            def one_chain(st, key):
+                keys = jax.random.split(key, self.clusters)
+
+                def body(carry, k):
+                    st, size = carry
+                    st, n = wolff_step(st, q, k)
+                    return (st, size + n), None
+
+                (st, size), _ = jax.lax.scan(
+                    body, (st, jnp.zeros((), jnp.int32)), keys)
+                return st, size
+
+            sys, size = jax.vmap(one_chain)(dstate["sys"], step_keys)
+            inc = jnp.stack(
+                [size, jnp.full_like(size, self.clusters)],
+                axis=-1)[:, None, :]
+            return {**dstate, "sys": sys,
+                    self.state_key: {**slc, "counters": slc["counters"] + inc}}
+
+        def write_summary(self, io, scheduler):
+            from ..core.algorithms import _n_calls
+            io.write(f"\tWolffPotts(q={q})\n")
+            io.write(f"\t\tCalls: {_n_calls(scheduler)}\n")
+            io.write(f"\t\tCluster flips per step: {self.clusters}\n")
+            io.write(f"\t\tLattice: {self.lattice_shape}\n")
+
+    _WolffPotts.__name__ = f"WolffPotts_q{q}"
+    return _WolffPotts
+
+
+def SwendsenWangPotts(q: int):
+    """DeviceAlgorithm factory: Swendsen–Wang driver bound to a static ``q``.
+
+    Usage: ``dict(algorithm=potts.SwendsenWangPotts(3), sweeps=1, seed=...)``.
+    """
+    from .ising2d import SwendsenWang
+
+    class _SwendsenWangPotts(SwendsenWang):
+        def __init__(self, sim, sweeps: int = 1, seed: int = 1,
+                     dependencies=(), **_):
+            self.sweeps = int(sweeps)
+            self.seed = int(seed)
+            self.n_chains = sim.n_chains
+            spins = sim.chains0.spins
+            self.lattice_shape = tuple(int(d) for d in spins.shape[1:])
+            _check_ferromagnetic(sim, type(self).__name__)
+
+        def step(self, dstate, t):
+            slc = dstate[self.state_key]
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+                slc["keys"], t.astype(jnp.uint32))
+
+            def one_chain(st, key):
+                keys = jax.random.split(key, self.sweeps)
+
+                def body(carry, k):
+                    st, nc = carry
+                    st, n = swendsen_wang_step(st, q, k)
+                    return (st, nc + n), None
+
+                (st, nc), _ = jax.lax.scan(
+                    body, (st, jnp.zeros((), jnp.int32)), keys)
+                return st, nc
+
+            sys, nc = jax.vmap(one_chain)(dstate["sys"], step_keys)
+            inc = jnp.stack(
+                [nc, jnp.full_like(nc, self.sweeps)], axis=-1)[:, None, :]
+            return {**dstate, "sys": sys,
+                    self.state_key: {**slc, "counters": slc["counters"] + inc}}
+
+        def write_summary(self, io, scheduler):
+            from ..core.algorithms import _n_calls
+            io.write(f"\tSwendsenWangPotts(q={q})\n")
+            io.write(f"\t\tCalls: {_n_calls(scheduler)}\n")
+            io.write(f"\t\tLattice sweeps per step: {self.sweeps}\n")
+            io.write(f"\t\tLattice: {self.lattice_shape}\n")
+
+    _SwendsenWangPotts.__name__ = f"SwendsenWangPotts_q{q}"
+    return _SwendsenWangPotts
 
 
 # ---------------------------------------------------------------------------
