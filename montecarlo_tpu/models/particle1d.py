@@ -31,6 +31,8 @@ __all__ = [
     "init_chains",
     "StandardGaussian",
     "displacement_move",
+    "LangevinGaussian",
+    "mala_move",
     "callback_energy",
 ]
 
@@ -126,6 +128,80 @@ def displacement_move(sigma: float, weight: float = 1.0,
                  apply=apply, invert=invert, reward=reward,
                  kind="gaussian_displacement_1d", aux=potential)
     return Move(move=md, params={"sigma": jnp.asarray(sigma, jnp.float32)},
+                weight=weight)
+
+
+class LangevinGaussian(Policy):
+    """Gradient-informed (MALA) displacement proposal.
+
+    The capability the reference's AD layer never reaches: using the
+    *gradient of the target* inside the proposal itself.  The drift is one
+    Euler–Maruyama step of the overdamped Langevin dynamics,
+
+        delta ~ N( eps * grad log pi(x),  2 eps )
+              = N( -eps * beta * U'(x),  2 eps ),
+
+    with ``U'`` obtained by ``jax.grad`` of the potential — traced once and
+    fused into the proposal kernel by XLA.  The proposal is ASYMMETRIC: the
+    backward density is evaluated at the proposed state with the inverted
+    action, which is exactly what the generic MH kernel does
+    (``core/metropolis.py:mc_step`` stages 4-5, mirroring the reference's
+    invert-then-backward-logq recipe, ``src/metropolis.jl:176-190``), so MALA
+    drops in as a plain :class:`~montecarlo_tpu.core.moves.Policy` with no
+    kernel changes.
+
+    Parameter ``step`` (= eps) is learnable by PGMC like any other policy
+    parameter — ``jax.value_and_grad`` differentiates straight through the
+    drift term.
+    """
+
+    def __init__(self, potential=harmonic):
+        self.grad_u = jax.grad(potential)
+
+    def _drift(self, params, state):
+        return -params["step"] * state.beta * self.grad_u(state.x)
+
+    def sample(self, params, key, state):
+        eps = params["step"]
+        noise = jnp.sqrt(2.0 * eps) * jax.random.normal(
+            key, dtype=jnp.result_type(eps))
+        return self._drift(params, state) + noise
+
+    def log_density(self, params, action, state):
+        eps = params["step"]
+        d = action - self._drift(params, state)
+        return (-(d * d) / (4.0 * eps)
+                - 0.5 * jnp.log(4.0 * jnp.pi * eps))
+
+
+def mala_move(step: float, weight: float = 1.0, potential=harmonic) -> Move:
+    """Metropolis-adjusted Langevin move.
+
+    Same apply/invert/reward semantics as :func:`displacement_move` (the
+    action is still "shift x by delta"); only the proposal differs.  Small
+    ``step`` -> acceptance near 1 (the proposal approaches the exact
+    diffusion); large ``step`` trades acceptance for stride.
+    """
+    if step <= 0:
+        raise ValueError(f"MALA step size must be positive, got {step}")
+
+    def apply(state: Particle1DState, delta):
+        xn = state.x + delta
+        en = potential(xn)
+        dlogp = -(en - state.e) * state.beta
+        return dataclasses.replace(state, x=xn, e=en), dlogp
+
+    def invert(delta, new_state):
+        return -delta
+
+    def reward(delta, new_state):
+        return delta * delta
+
+    md = MoveDef(name="LangevinDisplacement",
+                 policy=LangevinGaussian(potential),
+                 apply=apply, invert=invert, reward=reward,
+                 kind="mala_displacement_1d", aux=potential)
+    return Move(move=md, params={"step": jnp.asarray(step, jnp.float32)},
                 weight=weight)
 
 
