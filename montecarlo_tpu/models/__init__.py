@@ -1,3 +1,3 @@
-from . import ising, ising2d, lennard_jones, particle1d, potts
+from . import ising, ising2d, lennard_jones, particle1d, potts, xy
 
-__all__ = ["ising", "ising2d", "lennard_jones", "particle1d", "potts"]
+__all__ = ["ising", "ising2d", "lennard_jones", "particle1d", "potts", "xy"]
