@@ -22,6 +22,8 @@ from .core.algorithms import (Algorithm, DeviceAlgorithm, HostAlgorithm,
                               StoreLastFrames, StoreBackups, PrintTimeSteps)
 from .core.simulation import Simulation, build_schedule, run
 from .core.tempering import ReplicaExchange, callback_swap_rate, tile_ladder
+from .core.wanglandau import (WangLandau, WangLandauModel, WangLandauRefine,
+                              callback_wl_flatness, callback_wl_log_f)
 from .utils.observability import ProfilerTrace, Throughput
 from .utils import analysis
 from . import checkpoint
@@ -41,6 +43,8 @@ __all__ = [
     "PrintTimeSteps",
     "Simulation", "build_schedule", "run",
     "ReplicaExchange", "tile_ladder", "callback_swap_rate",
+    "WangLandau", "WangLandauModel", "WangLandauRefine",
+    "callback_wl_log_f", "callback_wl_flatness",
     "Throughput", "ProfilerTrace", "analysis",
     "checkpoint", "parallel", "policy_guided",
 ]

@@ -376,6 +376,10 @@ def _execute(sim: Simulation):
                         sim.algorithms[i].write(sim, t, v)
                 for i in host_ids:
                     sim.algorithms[i].make_step(sim, t)
+                if host_ids:
+                    # host algorithms may replace sim.device_state (e.g. the
+                    # Wang-Landau refinement step); resync the local handle
+                    ds = sim.device_state
 
     if sim.t < sim.steps:
         ds = advance_j(ds, masks, sim.steps - sim.t)

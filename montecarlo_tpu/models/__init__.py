@@ -1,3 +1,5 @@
-from . import ising, ising2d, lennard_jones, particle1d, potts, xy
+from . import (heisenberg, ising, ising2d, lennard_jones, particle1d, potts,
+               xy)
 
-__all__ = ["ising", "ising2d", "lennard_jones", "particle1d", "potts", "xy"]
+__all__ = ["heisenberg", "ising", "ising2d", "lennard_jones", "particle1d",
+           "potts", "xy"]

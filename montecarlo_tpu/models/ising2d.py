@@ -39,6 +39,7 @@ from ..core.system import SystemDef
 __all__ = ["Ising2DState", "make_system", "init_chains", "spin_flip_move",
            "CheckerboardMetropolis", "WolffCluster", "wolff_step",
            "SwendsenWang", "swendsen_wang_step",
+           "wl_model", "wl_bin_energies", "exact_log_g",
            "exact_moments",
            "callback_energy_per_spin", "callback_magnetisation",
            "callback_checkerboard_acceptance", "callback_mean_cluster_size"]
@@ -502,6 +503,70 @@ class SwendsenWang(DeviceAlgorithm):
         io.write(f"\t\tLattice sweeps per simulation step: {self.sweeps}\n")
         io.write(f"\t\tLattice: {self.lattice_shape}\n")
         io.write(f"\t\tSeed: {self.seed}\n")
+
+
+# ---------------------------------------------------------------------------
+# Path 5: Wang–Landau binding (density-of-states random walk)
+# ---------------------------------------------------------------------------
+
+def wl_model(size: int, j: float = 1.0):
+    """Wang–Landau model descriptor for the L×L periodic Ising lattice.
+
+    Energy levels are ``E = -2 N j + 4 j k`` for bin index ``k in [0, N]``
+    (N = L²; k = 1 and k = N-1 are unreachable on the periodic lattice —
+    flatness is measured over visited bins only, see
+    :class:`~montecarlo_tpu.core.wanglandau.WangLandau`).  The proposal is a
+    uniform single-site flip (symmetric, as WL requires), with the cached
+    energy updated from the O(1) local field exactly as in
+    :func:`spin_flip_move`.
+    """
+    from ..core.wanglandau import WangLandauModel
+
+    n = size * size
+
+    def bin_index(state: Ising2DState):
+        return jnp.round(
+            (state.energy + 2.0 * n * state.j) / (4.0 * state.j)
+        ).astype(jnp.int32)
+
+    def propose(state: Ising2DState, key):
+        s = state.spins
+        lx, ly = s.shape
+        site = jax.random.randint(key, (), 0, n)
+        i, k = site // ly, site % ly
+        nsum = (s[(i - 1) % lx, k] + s[(i + 1) % lx, k]
+                + s[i, (k - 1) % ly] + s[i, (k + 1) % ly]).astype(jnp.float32)
+        d_e = 2.0 * state.j * s[i, k].astype(jnp.float32) * nsum
+        return dataclasses.replace(
+            state, spins=s.at[i, k].set(-s[i, k]), energy=state.energy + d_e)
+
+    return WangLandauModel(n_bins=n + 1, bin_index=bin_index, propose=propose)
+
+
+def wl_bin_energies(size: int, j: float = 1.0) -> np.ndarray:
+    """Energy of each Wang–Landau bin: ``-2 N j + 4 j k``, k = 0..N."""
+    n = size * size
+    return -2.0 * n * j + 4.0 * j * np.arange(n + 1, dtype=np.float64)
+
+
+def exact_log_g(size: int, j: float = 1.0) -> np.ndarray:
+    """Exact ``log g(E)`` per Wang–Landau bin by enumeration (L*L <= 20).
+
+    Unreachable bins are ``-inf`` — the ground truth for the Wang–Landau
+    tests, on the same bin grid as :func:`wl_bin_energies`.
+    """
+    n = size * size
+    if n > 20:
+        raise ValueError("exact enumeration is only feasible for L*L <= 20")
+    bits = (np.arange(1 << n, dtype=np.int64)[:, None]
+            >> np.arange(n)) & 1
+    s = (2 * bits - 1).astype(np.float32).reshape(-1, size, size)
+    e = -j * np.sum(
+        s * (np.roll(s, 1, axis=1) + np.roll(s, 1, axis=2)), axis=(1, 2))
+    bins = np.round((e + 2.0 * n * j) / (4.0 * j)).astype(np.int64)
+    counts = np.bincount(bins, minlength=n + 1).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        return np.log(counts)
 
 
 # ---------------------------------------------------------------------------
