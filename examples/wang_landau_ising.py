@@ -39,8 +39,18 @@ energies = ising2d.wl_bin_energies(L)
 exact = ising2d.exact_log_g(L)
 
 print(f"final log f per walker: {np.asarray(slc['log_f'])}")
-err = np.abs(log_g[support] - exact[np.isfinite(exact)])
-print(f"max |log g - exact|: {err.max():.3f}")
+# compare over the bins both the walkers and exact enumeration support; a
+# reachable-but-unvisited bin is a discrepancy to report, not a crash
+exact_support = np.isfinite(exact)
+common = support & exact_support
+err = np.abs(log_g[common] - exact[common])
+print(f"max |log g - exact| over {common.sum()} common bins: {err.max():.3f}")
+if (missed := exact_support & ~support).any():
+    print(f"WARNING: {missed.sum()} reachable bins never visited: "
+          f"E = {ising2d.wl_bin_energies(L)[missed]}")
+if (spurious := support & ~exact_support).any():
+    print(f"WARNING: {spurious.sum()} visited bins outside exact support: "
+          f"E = {ising2d.wl_bin_energies(L)[spurious]}")
 
 print(f"\n{'beta':>8} {'<E>/N (WL)':>12} {'<E>/N exact':>12} "
       f"{'C/N (WL)':>10} {'C/N exact':>10}")

@@ -23,7 +23,8 @@ from .core.algorithms import (Algorithm, DeviceAlgorithm, HostAlgorithm,
 from .core.simulation import Simulation, build_schedule, run
 from .core.tempering import ReplicaExchange, callback_swap_rate, tile_ladder
 from .core.wanglandau import (WangLandau, WangLandauModel, WangLandauRefine,
-                              callback_wl_flatness, callback_wl_log_f)
+                              callback_wl_flatness, callback_wl_log_f,
+                              wl_callbacks)
 from .utils.observability import ProfilerTrace, Throughput
 from .utils import analysis
 from . import checkpoint
@@ -44,7 +45,7 @@ __all__ = [
     "Simulation", "build_schedule", "run",
     "ReplicaExchange", "tile_ladder", "callback_swap_rate",
     "WangLandau", "WangLandauModel", "WangLandauRefine",
-    "callback_wl_log_f", "callback_wl_flatness",
+    "callback_wl_log_f", "callback_wl_flatness", "wl_callbacks",
     "Throughput", "ProfilerTrace", "analysis",
     "checkpoint", "parallel", "policy_guided",
 ]

@@ -224,6 +224,10 @@ class Metropolis(DeviceAlgorithm):
     """
 
     state_key = "metropolis"
+    #: device-state slot holding this instance's move parameters; the
+    #: orchestrator reassigns it (``params_<state_key>``) for a second
+    #: params-owning algorithm in the same simulation
+    params_key = "params"
 
     def __init__(self, sim, pool: Sequence[Move] = (), sweepstep: int = 1,
                  seed: int = 1, rng_impl: str = None, dependencies=(), **_):
@@ -264,7 +268,7 @@ class Metropolis(DeviceAlgorithm):
     # -- compiled step -----------------------------------------------------
     def step(self, dstate, t):
         slc = dstate[self.state_key]
-        params = dstate["params"]
+        params = dstate[self.params_key]
         step_keys = jax.vmap(jax.random.fold_in, (0, None))(
             slc["keys"], t.astype(jnp.uint32))
 
@@ -309,7 +313,7 @@ class Metropolis(DeviceAlgorithm):
         """
         slc = dstate[self.state_key]
         sys = dstate["sys"]
-        sigma = jax.tree_util.tree_leaves(dstate["params"][0])[0]
+        sigma = jax.tree_util.tree_leaves(dstate[self.params_key][0])[0]
         t0 = dstate["t"]
         total = (n_steps * self.sweepstep).astype(jnp.int32)
         # per-step seeding off the absolute micro-step index keeps results
@@ -387,18 +391,36 @@ class StoreParameters(ObservableRecorder):
         deps = [d for d in dependencies if isinstance(d, Metropolis)]
         if len(deps) != 1:
             raise ValueError(
-                "StoreParameters requires a single Metropolis dependency")
+                "StoreParameters requires a single Metropolis dependency "
+                "(with two samplers, disambiguate with an index: "
+                "dependencies=(0,))")
         self.metropolis = deps[0]
         n_moves = self.metropolis.n_moves
         self.ids = list(range(n_moves)) if ids is None else list(ids)
         self.store_first = store_first
         self.store_last = store_last
-        self.dirs = [os.path.join(sim.path, "parameters", str(k + 1))
-                     for k in self.ids]
-        self.paths = [os.path.join(d, "parameters.dat") for d in self.dirs]
+        self._root = sim.path
+        self.dirs = []
+        self.paths = []
         self.files = []
 
+    def _resolve_paths(self):
+        # The primary sampler keeps the reference layout
+        # ``parameters/<k>/parameters.dat`` (``src/metropolis.jl:425-429``);
+        # additional samplers are namespaced by their (uniquified) state key
+        # so two StoreParameters never write the same file.  Deferred to
+        # initialise: state keys are final only after Simulation construction.
+        base = os.path.join(self._root, "parameters")
+        if self.metropolis.params_key != "params":
+            base = os.path.join(base, self.metropolis.state_key)
+        self.dirs = [os.path.join(base, str(k + 1)) for k in self.ids]
+        self.paths = [os.path.join(d, "parameters.dat") for d in self.dirs]
+
     def initialise(self, sim):
+        from .algorithms import _io_host
+        self._resolve_paths()
+        if not _io_host():
+            return  # multi-host: only the IO host touches the filesystem
         if sim.verbose:
             print("Opening parameter files...")
         for d in self.dirs:
@@ -406,7 +428,8 @@ class StoreParameters(ObservableRecorder):
         self.files = [open(p, "w") for p in self.paths]
 
     def observable(self, view: SimView):
-        return tuple(view.params[k] for k in self.ids)
+        params = view.state[self.metropolis.params_key]
+        return tuple(params[k] for k in self.ids)
 
     def write(self, sim, t, value):
         for f, p in zip(self.files, value):

@@ -88,9 +88,7 @@ class Simulation:
             if sched.size and (sched[0] < 0 or sched[-1] > self.steps):
                 raise ValueError(
                     f"scheduler for {cls.__name__} out of range [0, steps]")
-            dep_types = tuple(spec.pop("dependencies", ()))
-            deps = tuple(a for a in self.algorithms
-                         if isinstance(a, dep_types)) if dep_types else ()
+            deps = self._resolve_deps(spec.pop("dependencies", ()), cls)
             inst = cls(self, dependencies=deps, **spec)
             self.algorithms.append(inst)
             self.schedulers.append(sched)
@@ -109,7 +107,40 @@ class Simulation:
                 seen.add(key)
                 self.device_algos.append(a)
 
+        # Per-algorithm parameter namespaces: the first params-owning
+        # algorithm keeps the canonical "params" slot (SimView.params,
+        # reference parity); every further owner — e.g. a second Metropolis
+        # with a different pool on its own schedule — gets its own slot so
+        # two samplers never index each other's parameter tuples.
+        owners = [a for a in self.device_algos if hasattr(a, "init_params")]
+        for i, a in enumerate(owners):
+            a.params_key = "params" if i == 0 else f"params_{a.state_key}"
+
         os.makedirs(self.path, exist_ok=True)
+
+    def _resolve_deps(self, dep_spec, cls):
+        """Resolve a ``dependencies`` entry to algorithm instances.
+
+        Each item may be a type (matches every previously-listed instance,
+        the reference's mechanism — ``src/simulation.jl:77-81``), an integer
+        index into the algorithm list so far (disambiguates when e.g. two
+        Metropolis instances coexist), or an instance directly.
+        """
+        deps = []
+        for d in dep_spec:
+            if isinstance(d, bool):
+                raise TypeError(f"invalid dependency spec for "
+                                f"{cls.__name__}: {d!r}")
+            if isinstance(d, int):
+                deps.append(self.algorithms[d])
+            elif isinstance(d, type):
+                deps.extend(a for a in self.algorithms if isinstance(a, d))
+            elif isinstance(d, Algorithm):
+                deps.append(d)
+            else:
+                raise TypeError(f"invalid dependency spec for "
+                                f"{cls.__name__}: {d!r}")
+        return tuple(dict.fromkeys(deps))
 
     # ------------------------------------------------------------------
     def init_device_state(self):
@@ -119,8 +150,8 @@ class Simulation:
             "params": (),
         }
         for a in self.device_algos:
-            if hasattr(a, "init_params") and not dstate["params"]:
-                dstate["params"] = a.init_params()
+            if hasattr(a, "init_params"):
+                dstate[a.params_key] = a.init_params()
         for a in self.device_algos:
             dstate[a.state_key] = a.init_state(self)
         if self.mesh is not None:

@@ -46,6 +46,7 @@ __all__ = [
     "WangLandauModel",
     "WangLandau",
     "WangLandauRefine",
+    "wl_callbacks",
     "callback_wl_log_f",
     "callback_wl_flatness",
     "mean_log_g",
@@ -202,7 +203,14 @@ class WangLandauRefine(HostAlgorithm):
 
         @jax.jit
         def refine(slc):
-            flat = _flatness(slc["hist"]) >= self.flatness
+            # Right after a histogram reset a walker confined to a few bins
+            # would look "flat" over its since-reset support; require the
+            # since-reset histogram to cover every bin the walker has ever
+            # visited before halving log_f, so log_f cannot crash before the
+            # walker re-traverses its full reachable energy range.
+            covers = jnp.all((slc["visited"] == 0) | (slc["hist"] > 0),
+                             axis=-1)
+            flat = covers & (_flatness(slc["hist"]) >= self.flatness)
             log_f = jnp.where(flat, jnp.maximum(slc["log_f"] * 0.5,
                                                 self.log_f_min),
                               slc["log_f"])
@@ -225,14 +233,31 @@ class WangLandauRefine(HostAlgorithm):
 
 # -- observables ------------------------------------------------------------
 
-def callback_wl_log_f(view: SimView):
-    """Mean modification factor over walkers (convergence monitor)."""
-    return jnp.mean(view.state["wang_landau"]["log_f"])
+def wl_callbacks(state_key: str = "wang_landau"):
+    """Callback factories bound to a walker's device-state key.
+
+    ``Simulation`` uniquifies duplicate state keys (a second WangLandau
+    instance becomes ``wang_landau_1``); pass that key here to observe a
+    specific walker instead of relying on the default single-instance key.
+    Returns ``(callback_log_f, callback_flatness)``.
+    """
+    suffix = "wl" if state_key == "wang_landau" else state_key
+
+    def log_f(view: SimView):
+        return jnp.mean(view.state[state_key]["log_f"])
+
+    def flatness(view: SimView):
+        return jnp.mean(_flatness(view.state[state_key]["hist"]))
+
+    log_f.__name__ = f"callback_{suffix}_log_f"
+    log_f.__doc__ = "Mean modification factor over walkers."
+    flatness.__name__ = f"callback_{suffix}_flatness"
+    flatness.__doc__ = "Mean histogram flatness over walkers."
+    return log_f, flatness
 
 
-def callback_wl_flatness(view: SimView):
-    """Mean histogram flatness over walkers."""
-    return jnp.mean(_flatness(view.state["wang_landau"]["hist"]))
+#: single-instance conveniences (state key ``wang_landau``)
+callback_wl_log_f, callback_wl_flatness = wl_callbacks()
 
 
 # -- estimators -------------------------------------------------------------
@@ -243,15 +268,24 @@ def mean_log_g(slc, anchor_bin: int, anchor_log_g: float = 0.0):
     WL determines ``log g`` only up to an additive constant; each walker is
     shifted so ``log_g[anchor_bin] == anchor_log_g`` (e.g. the Ising ground
     level has exactly 2 states: anchor_log_g = log 2), then averaged over
-    walkers.  Bins never visited by any walker are returned as ``-inf``.
+    walkers.  A walker that never visited the anchor bin has no meaningful
+    shift (its anchor entry is the untouched initial 0), so it is excluded
+    from the average entirely; if no walker reached the anchor the estimate
+    is undefined and a ``ValueError`` is raised.  Bins never visited by any
+    anchored walker are returned as ``-inf``.
 
     Returns ``(log_g (n_bins,), support (n_bins,) bool)`` as numpy arrays.
     """
     log_g = np.asarray(slc["log_g"], np.float64)
     visited = np.asarray(slc["visited"]) > 0
+    anchored = visited[:, anchor_bin]
+    if not anchored.any():
+        raise ValueError(
+            f"no walker visited anchor bin {anchor_bin}; run longer or pick "
+            "an anchor inside the sampled energy range")
     shifted = log_g - log_g[:, anchor_bin:anchor_bin + 1] + anchor_log_g
-    support = visited.any(axis=0)
-    w = visited.astype(np.float64)
+    w = (visited & anchored[:, None]).astype(np.float64)
+    support = w.any(axis=0)
     avg = (shifted * w).sum(axis=0) / np.maximum(w.sum(axis=0), 1.0)
     return np.where(support, avg, -np.inf), support
 

@@ -35,7 +35,8 @@ def _uniform_from_bits(bits):
 
     Mantissa trick: force exponent to [1,2), subtract from 2.0 so the result
     is in (0, 1] (safe for log)."""
-    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    f = jax.lax.bitcast_convert_type(
+        (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
     return 2.0 - f
 
 
@@ -48,8 +49,36 @@ def _hash32(s):
     return s
 
 
-def _sweep_kernel(potential, seed_ref, t0_ref, nsteps_ref, x_ref, beta_ref,
-                  sigma_ref, x_out, e_out, acc_out):
+def software_bits(step_seed, draw, shape):
+    """Counter-based uint32 bits in pure jnp — the interpret-mode stand-in
+    for the TPU hardware PRNG (``pltpu.prng_seed`` has no interpret-mode
+    lowering).  Two murmur-finalizer rounds over (seed, draw index, lane
+    index); a different stream than the hardware PRNG, which is fine — the
+    kernel's statistical contract, not its bit stream, is what tests pin."""
+    cols = shape[-1]
+    flat = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * cols
+            + jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1))
+    h = flat * jnp.int32(-1640531527) + step_seed        # 0x9E3779B9
+    h = _hash32(h ^ jnp.int32(draw * 0x3243F6A9))
+    h = _hash32(h + jnp.int32(draw))
+    return jax.lax.bitcast_convert_type(h, jnp.uint32)
+
+
+def make_draw(hw_prng: bool, step_seed, shape):
+    """Per-step random-bit source: ``draw(k)`` -> uint32 array of ``shape``.
+
+    Hardware path seeds the TPU PRNG once per step and pulls sequential
+    blocks; software path (interpret mode / CPU CI) hashes (seed, k, lane).
+    """
+    if hw_prng:
+        pltpu.prng_seed(step_seed)
+        return lambda k: pltpu.bitcast(
+            pltpu.prng_random_bits(shape), jnp.uint32)
+    return lambda k: software_bits(step_seed, k, shape)
+
+
+def _sweep_kernel(potential, hw_prng, seed_ref, t0_ref, nsteps_ref, x_ref,
+                  beta_ref, sigma_ref, x_out, e_out, acc_out):
     sigma = sigma_ref[0]
     beta = beta_ref[:]
     shape = x_ref.shape
@@ -59,13 +88,10 @@ def _sweep_kernel(potential, seed_ref, t0_ref, nsteps_ref, x_ref, beta_ref,
         # Re-seed per *absolute* timestep so trajectories are invariant to
         # how the run is sliced into segments by recorder schedules (matches
         # the counter-based fold_in(t) semantics of the generic path).
-        pltpu.prng_seed(_hash32(seed_ref[0] + t0_ref[0] + i))
-        u1 = _uniform_from_bits(
-            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-        u2 = _uniform_from_bits(
-            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-        u3 = _uniform_from_bits(
-            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        draw = make_draw(hw_prng, _hash32(seed_ref[0] + t0_ref[0] + i), shape)
+        u1 = _uniform_from_bits(draw(0))
+        u2 = _uniform_from_bits(draw(1))
+        u3 = _uniform_from_bits(draw(2))
         # Box–Muller: exact standard normal from two uniforms
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * jnp.pi) * u2)
         xn = x + sigma * z
@@ -111,7 +137,7 @@ def fused_gaussian_sweep(x, beta, sigma, seed, t0, n_steps, *, potential,
     xp = xp.reshape(rows, _LANES)
     bp = bp.reshape(rows, _LANES)
 
-    kernel = functools.partial(_sweep_kernel, potential)
+    kernel = functools.partial(_sweep_kernel, potential, not interpret)
     x_out, e_out, acc = pl.pallas_call(
         kernel,
         out_shape=(

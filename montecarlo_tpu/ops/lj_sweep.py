@@ -30,25 +30,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_sweep import _hash32, make_draw
+
 __all__ = ["fused_lj_sweep"]
 
 _LANES = 128
 
 
-def _hash32(s):
-    s = s * jnp.int32(-2048144789)
-    s = s ^ jax.lax.shift_right_logical(s, 13)
-    s = s * jnp.int32(-1028477387)
-    s = s ^ jax.lax.shift_right_logical(s, 16)
-    return s
-
-
 def _uniform(bits):
-    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    f = jax.lax.bitcast_convert_type(
+        (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
     return 2.0 - f  # (0, 1]
 
 
-def _kernel(n_particles, scalars_ref, seed_ref, t0_ref, nsteps_ref,
+def _kernel(n_particles, hw_prng, scalars_ref, seed_ref, t0_ref, nsteps_ref,
             x_ref, y_ref, spc_ref, beta_ref, e_ref,
             x_out, y_out, e_out, acc_out):
     (sigma, box, inv_box, e_aa, e_ab, e_bb, s2_aa, s2_ab, s2_bb,
@@ -87,10 +82,9 @@ def _kernel(n_particles, scalars_ref, seed_ref, t0_ref, nsteps_ref,
 
     def body(k, carry):
         x, y, e, acc = carry
-        pltpu.prng_seed(
-            _hash32(seed_ref[0] + t0_ref[0] + k) + pid * jnp.int32(1000003))
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((b, _LANES)), jnp.uint32)
+        step_seed = (_hash32(seed_ref[0] + t0_ref[0] + k)
+                     + pid * jnp.int32(1000003))
+        bits = make_draw(hw_prng, step_seed, (b, _LANES))(0)
         u_pick = _uniform(bits[:, 0:1])              # (B, 1)
         u1 = _uniform(bits[:, 1:2])
         u2 = _uniform(bits[:, 2:3])
@@ -191,7 +185,7 @@ def fused_lj_sweep(pos, species, beta, energy, box, sigma, seed, t0, n_steps,
         jnp.stack([jnp.asarray(sigma, jnp.float32), box_f, 1.0 / box_f]),
         consts])
 
-    kernel = functools.partial(_kernel, n)
+    kernel = functools.partial(_kernel, n, not interpret)
     blk = lambda: pl.BlockSpec((bc, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     tile = lambda: pl.BlockSpec((bc, _LANES), lambda i: (i, 0),

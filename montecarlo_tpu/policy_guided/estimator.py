@@ -95,7 +95,8 @@ class PolicyGradientEstimator(DeviceAlgorithm):
         for md, members in self._groups:
             params_stack = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs),
-                *[dstate["params"][lid] for _, lid in members])
+                *[dstate[self.metropolis.params_key][lid]
+                  for _, lid in members])
             lids = jnp.asarray([lid for _, lid in members], jnp.uint32)
 
             def per_move(params_one, lid, md=md):

@@ -42,7 +42,8 @@ class PolicyGradientUpdate(DeviceAlgorithm):
     def step(self, dstate, t):
         est = self.estimator
         slc = dstate[est.state_key]
-        params = list(dstate["params"])
+        pkey = est.metropolis.params_key
+        params = list(dstate[pkey])
         gds = list(slc["gd"])
         for idx, lid in enumerate(self.learn_ids):
             gd_avg = average(gds[idx])
@@ -50,7 +51,7 @@ class PolicyGradientUpdate(DeviceAlgorithm):
             new_flat = learning_step(self.optimisers[lid], flat, gd_avg)
             params[lid] = unravel(new_flat)
             gds[idx] = init_gradient_data(est.param_dims[idx])
-        return {**dstate, "params": tuple(params),
+        return {**dstate, pkey: tuple(params),
                 est.state_key: {**slc, "gd": tuple(gds)}}
 
     def write_summary(self, io, scheduler):

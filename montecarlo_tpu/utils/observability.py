@@ -13,7 +13,7 @@ import time
 
 import jax
 
-from ..core.algorithms import HostAlgorithm
+from ..core.algorithms import HostAlgorithm, _io_host
 
 __all__ = ["Throughput", "ProfilerTrace"]
 
@@ -30,7 +30,10 @@ class Throughput(HostAlgorithm):
         self.file = None
 
     def initialise(self, sim):
-        self.file = open(self.path, "w")
+        # multi-host: every process measures (the sync participates in the
+        # step), but only the IO host writes the shared file
+        if _io_host():
+            self.file = open(self.path, "w")
         self._last_t = sim.t
         self._last_wall = time.perf_counter()
 
@@ -40,7 +43,7 @@ class Throughput(HostAlgorithm):
         now = time.perf_counter()
         dt_steps = (t - self._last_t) * self.n_chains
         wall = now - self._last_wall
-        if wall > 0 and dt_steps > 0:
+        if self.file is not None and wall > 0 and dt_steps > 0:
             self.file.write(f"{t} {dt_steps / wall!r}\n")
             self.file.flush()
         self._last_t, self._last_wall = t, now
@@ -60,6 +63,8 @@ class ProfilerTrace(HostAlgorithm):
         self._active = False
 
     def make_step(self, sim, t):
+        if not _io_host():
+            return  # one trace per run: only the IO host profiles
         if not self._active:
             jax.profiler.start_trace(self.trace_dir)
             self._active = True

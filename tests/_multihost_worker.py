@@ -45,6 +45,9 @@ def build_sim(path, mesh):
              scheduler=times),
         dict(algorithm=mc.StoreTrajectories, scheduler=times),
         dict(algorithm=mc.StoreBackups, scheduler=np.asarray([30])),
+        dict(algorithm=mc.StoreParameters, dependencies=(mc.Metropolis,),
+             scheduler=times),
+        dict(algorithm=mc.Throughput, scheduler=times),
     ], steps, path=path, mesh=mesh)
 
 

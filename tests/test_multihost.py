@@ -63,6 +63,8 @@ def test_two_process_run_matches_single(tmp_path):
              callbacks=(p1d.callback_energy, mc.callback_acceptance),
              scheduler=times),
         dict(algorithm=mc.StoreTrajectories, scheduler=times),
+        dict(algorithm=mc.StoreParameters, dependencies=(mc.Metropolis,),
+             scheduler=times),
     ], steps, path=ref_path).run()
 
     e_multi = np.loadtxt(str(tmp_path / "multi" / "energy.dat"))
@@ -80,3 +82,18 @@ def test_two_process_run_matches_single(tmp_path):
     # checkpoint written once by process 0
     assert os.path.exists(str(tmp_path / "multi" / "checkpoints"
                               / "ckpt_t30.npz"))
+
+    # StoreParameters: single writer — file contents match the
+    # single-process run exactly (two racing writers would duplicate lines)
+    pm = (tmp_path / "multi" / "parameters" / "1"
+          / "parameters.dat").read_text()
+    ps = open(os.path.join(ref_path, "parameters", "1",
+                           "parameters.dat")).read()
+    assert pm == ps
+    n_events = len(times) + 1  # store_first
+    assert len(pm.strip().splitlines()) == n_events
+
+    # Throughput: written once, one line per firing interval (minus warmup)
+    th = np.loadtxt(str(tmp_path / "multi" / "throughput.dat"), ndmin=2)
+    assert 1 <= th.shape[0] <= len(times)
+    assert np.all(th[:, 1] > 0)
