@@ -291,16 +291,22 @@ class Metropolis(DeviceAlgorithm):
 
     @property
     def supports_fused(self) -> bool:
-        """True when the pool is a single move with a recognised structural
-        kind, runnable by a Pallas VMEM-resident sweep kernel
-        (``ops/fused_sweep.py`` / ``ops/lj_sweep.py``).  Auto-selected by the
-        orchestrator on TPU."""
-        kind = self.pool[0].move.kind if self.n_moves == 1 else ""
-        if kind not in self._FUSED_KINDS:
+        """True when the pool structure has a Pallas VMEM-resident sweep
+        kernel (``ops/fused_sweep.py`` / ``ops/lj_sweep.py``): a single
+        recognised move, or the BASELINE config-5 mixed LJ
+        displacement + swap pool.  All kernels have ``shard_map`` wrappers,
+        so a chain mesh is supported.  Auto-selected by the orchestrator on
+        TPU."""
+        if jax.default_backend() != "tpu":
             return False
-        if kind == "lj_displacement_2d" and self.mesh is not None:
-            return False  # LJ kernel has no shard_map wrapper yet
-        return jax.default_backend() == "tpu"
+        kinds = tuple(m.move.kind for m in self.pool)
+        if self.n_moves == 1:
+            return kinds[0] in self._FUSED_KINDS
+        if self.n_moves == 2 and set(kinds) == {"lj_displacement_2d",
+                                                "lj_swap"}:
+            # one shared static interaction table
+            return self.pool[0].move.aux == self.pool[1].move.aux
+        return False
 
     def fused_advance(self, dstate, n_steps):
         """Advance all chains ``n_steps * sweepstep`` MH steps in one Pallas
@@ -313,34 +319,69 @@ class Metropolis(DeviceAlgorithm):
         """
         slc = dstate[self.state_key]
         sys = dstate["sys"]
-        sigma = jax.tree_util.tree_leaves(dstate[self.params_key][0])[0]
+        params = dstate[self.params_key]
         t0 = dstate["t"]
         total = (n_steps * self.sweepstep).astype(jnp.int32)
         # per-step seeding off the absolute micro-step index keeps results
         # invariant to how recorder schedules slice the run into segments
         micro_t0 = (t0 * self.sweepstep).astype(jnp.int32)
-        kind = self.pool[0].move.kind
+        kinds = tuple(m.move.kind for m in self.pool)
+        seed = jnp.int32(self.seed)
+        axis = self.mesh.axis_names[0] if self.mesh is not None else None
+
+        if self.n_moves == 2:        # mixed LJ displacement + swap pool
+            from ..ops.lj_sweep import (fused_lj_mixed_sweep,
+                                        sharded_lj_mixed_sweep)
+            disp_idx = kinds.index("lj_displacement_2d")
+            swap_idx = kinds.index("lj_swap")
+            lj_params = self.pool[disp_idx].move.aux
+            sigma = jax.tree_util.tree_leaves(params[disp_idx])[0]
+            w_disp = float(self.weights[disp_idx] / self.weights.sum())
+            args = (sys.pos, sys.species, sys.beta, sys.energy, sys.box[0],
+                    sigma, w_disp, seed, micro_t0, total)
+            if self.mesh is not None:
+                pos, species, energy, acc, tot = sharded_lj_mixed_sweep(
+                    self.mesh, axis, *args, params=lj_params)
+            else:
+                pos, species, energy, acc, tot = fused_lj_mixed_sweep(
+                    *args, params=lj_params)
+            new_sys = dataclasses.replace(sys, pos=pos, species=species,
+                                          energy=energy)
+            inc = jnp.zeros_like(slc["counters"])
+            inc = inc.at[:, disp_idx, 0].add(acc[:, 0])
+            inc = inc.at[:, disp_idx, 1].add(tot[:, 0])
+            inc = inc.at[:, swap_idx, 0].add(acc[:, 1])
+            inc = inc.at[:, swap_idx, 1].add(tot[:, 1])
+            counters = slc["counters"] + inc
+            return {**dstate, "sys": new_sys,
+                    "t": (t0 + n_steps).astype(jnp.int32),
+                    self.state_key: {**slc, "counters": counters}}
+
+        sigma = jax.tree_util.tree_leaves(params[0])[0]
+        kind = kinds[0]
         if kind == "gaussian_displacement_1d":
             from ..ops.fused_sweep import fused_gaussian_sweep, \
                 sharded_gaussian_sweep
             potential = self.pool[0].move.aux
             if self.mesh is not None:
                 x, e, acc = sharded_gaussian_sweep(
-                    self.mesh, self.mesh.axis_names[0], sys.x, sys.beta,
-                    sigma, jnp.int32(self.seed), micro_t0, total,
-                    potential=potential)
+                    self.mesh, axis, sys.x, sys.beta,
+                    sigma, seed, micro_t0, total, potential=potential)
             else:
                 x, e, acc = fused_gaussian_sweep(
-                    sys.x, sys.beta, sigma, jnp.int32(self.seed), micro_t0,
+                    sys.x, sys.beta, sigma, seed, micro_t0,
                     total, potential=potential)
             new_sys = dataclasses.replace(sys, x=x, e=e)
         elif kind == "lj_displacement_2d":
-            from ..ops.lj_sweep import fused_lj_sweep
+            from ..ops.lj_sweep import fused_lj_sweep, sharded_lj_sweep
             lj_params = self.pool[0].move.aux
-            pos, energy, acc = fused_lj_sweep(
-                sys.pos, sys.species, sys.beta, sys.energy, sys.box[0],
-                sigma, jnp.int32(self.seed), micro_t0, total,
-                params=lj_params)
+            args = (sys.pos, sys.species, sys.beta, sys.energy, sys.box[0],
+                    sigma, seed, micro_t0, total)
+            if self.mesh is not None:
+                pos, energy, acc = sharded_lj_sweep(
+                    self.mesh, axis, *args, params=lj_params)
+            else:
+                pos, energy, acc = fused_lj_sweep(*args, params=lj_params)
             new_sys = dataclasses.replace(sys, pos=pos, energy=energy)
         else:  # pragma: no cover - guarded by supports_fused
             raise ValueError(f"no fused kernel for move kind {kind!r}")

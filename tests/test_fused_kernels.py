@@ -26,7 +26,8 @@ from montecarlo_tpu.models import particle1d as p1d
 from montecarlo_tpu.ops.fused_sweep import (fused_gaussian_sweep,
                                             sharded_gaussian_sweep,
                                             software_bits)
-from montecarlo_tpu.ops.lj_sweep import fused_lj_sweep
+from montecarlo_tpu.ops.lj_sweep import (fused_lj_mixed_sweep, fused_lj_sweep,
+                                         sharded_lj_mixed_sweep)
 
 M = 4096
 BETA = 2.0
@@ -202,3 +203,104 @@ def test_lj_kernel_matches_generic_acceptance(lj_state):
     # 8 chains x 250 attempts per path: se ~ 1%; generous but regression-
     # catching bound (a sign error in dE moves acceptance by ~50%)
     assert abs(acc_fused - acc_generic) < 0.08
+
+
+# ---------------------------------------------------------------------------
+# Mixed displacement + swap kernel (BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+def _run_mixed(p, st, n_steps, w_disp=0.7, t0=0, pos=None, spc=None,
+               energy=None):
+    return fused_lj_mixed_sweep(
+        st.pos if pos is None else pos,
+        st.species if spc is None else spc, st.beta,
+        st.energy if energy is None else energy, float(st.box[0]),
+        0.12, w_disp, 7, t0, n_steps, params=p, interpret=True,
+        block_chains=8)
+
+
+def test_lj_mixed_kernel_cache_and_composition(lj_state):
+    """Incremental energies stay consistent through interleaved
+    displacement/swap moves, and swaps conserve the species composition."""
+    p, st = lj_state
+    pos, spc, e, acc, tot = _run_mixed(p, st, 300)
+    st2 = dataclasses.replace(st, pos=pos, species=spc)
+    full = np.asarray(jax.vmap(lambda s: lj.total_energy(s, p))(st2))
+    np.testing.assert_allclose(np.asarray(e), full, rtol=3e-4, atol=5e-2)
+    assert np.array_equal(np.asarray(st.species).sum(1),
+                          np.asarray(spc).sum(1))
+    # species actually moved between slots (swaps were accepted)
+    assert np.asarray(acc)[:, 1].sum() > 0
+    assert not np.array_equal(np.asarray(st.species), np.asarray(spc))
+
+
+def test_lj_mixed_kernel_kind_fractions(lj_state):
+    """Per-move attempt counters follow the pool weights and sum to the
+    total step count per chain."""
+    p, st = lj_state
+    steps = 400
+    _, _, _, acc, tot = _run_mixed(p, st, steps, w_disp=0.8)
+    tot = np.asarray(tot)
+    acc = np.asarray(acc)
+    assert np.all(tot.sum(axis=1) == steps)
+    frac = tot[:, 0].sum() / tot.sum()
+    assert abs(frac - 0.8) < 0.06      # binomial se ~ 0.02 at 400 draws
+    assert np.all(acc <= tot)
+
+
+def test_lj_mixed_kernel_segmentation_invariance(lj_state):
+    p, st = lj_state
+    pos_a, spc_a, e_a, acc_a, tot_a = _run_mixed(p, st, 240)
+    pos_b, spc_b, e_b = st.pos, st.species, st.energy
+    acc_b = jnp.zeros((8, 2), jnp.int32)
+    for k in range(3):
+        pos_b, spc_b, e_b, a, _ = _run_mixed(
+            p, st, 80, t0=k * 80, pos=pos_b, spc=spc_b, energy=e_b)
+        acc_b = acc_b + a
+    assert np.array_equal(np.asarray(pos_a), np.asarray(pos_b))
+    assert np.array_equal(np.asarray(spc_a), np.asarray(spc_b))
+    assert np.array_equal(np.asarray(acc_a), np.asarray(acc_b))
+
+
+def test_lj_mixed_kernel_matches_generic_acceptance(lj_state):
+    """Displacement and swap acceptance rates agree between the fused mixed
+    kernel and the generic engine running the same mixed pool."""
+    p, st = lj_state
+    steps = 400
+    _, _, _, acc, tot = _run_mixed(p, st, steps, w_disp=0.7)
+    acc, tot = np.asarray(acc), np.asarray(tot)
+    rate_fused = acc.sum(axis=0) / np.maximum(tot.sum(axis=0), 1)
+
+    pool = (lj.lj_displacement_move(0.12, weight=0.7, params=p),
+            lj.lj_swap_move(weight=0.3, params=p))
+    sim = mc.Simulation(
+        lj.make_system(p), st,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=3)],
+        steps, path="/tmp/mctpu_test_fused_lj_mixed")
+    from montecarlo_tpu.core.simulation import _make_advance
+    ds = sim.init_device_state()
+    adv = jax.jit(_make_advance(sim.device_algos))
+    out = adv(ds, (jnp.ones(steps + 1, bool),), steps)
+    cnt = np.asarray(out["metropolis"]["counters"])
+    rate_generic = cnt[..., 0].sum(axis=0) / cnt[..., 1].sum(axis=0)
+    assert abs(rate_fused[0] - rate_generic[0]) < 0.08
+    assert abs(rate_fused[1] - rate_generic[1]) < 0.10
+
+
+def test_sharded_lj_mixed_sweep_runs_on_mesh(lj_state):
+    from montecarlo_tpu.parallel import make_mesh
+    p, st = lj_state
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    reps = -(-n_dev * 2 // st.pos.shape[0]) * st.pos.shape[0]
+    big = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a] * (reps // a.shape[0] or 1))[:n_dev * 2]
+        if a.ndim >= 1 else a, st)
+    pos, spc, e, acc, tot = sharded_lj_mixed_sweep(
+        mesh, "chains", big.pos, big.species, big.beta, big.energy,
+        float(st.box[0]), 0.12, 0.7, 7, 0, 50, params=p, interpret=True,
+        block_chains=8)
+    st2 = dataclasses.replace(big, pos=pos, species=spc)
+    full = np.asarray(jax.vmap(lambda s: lj.total_energy(s, p))(st2))
+    np.testing.assert_allclose(np.asarray(e), full, rtol=3e-4, atol=5e-2)
+    assert np.all(np.asarray(tot).sum(axis=1) == 50)

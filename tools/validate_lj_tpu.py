@@ -54,7 +54,24 @@ def main():
         acc_b = acc_b + a
     assert np.array_equal(np.asarray(pos_a), np.asarray(pos_b))
     print("segmentation invariance: exact")
-    print("LJ KERNEL VALIDATED")
+
+    # mixed displacement + swap kernel (BASELINE config 5)
+    from montecarlo_tpu.ops.lj_sweep import fused_lj_mixed_sweep
+    pos, spec, e, acc, tot = fused_lj_mixed_sweep(
+        st.pos, st.species, st.beta, st.energy, box, 0.12, 0.8, 7, 0, 2000,
+        params=p, block_chains=16)
+    st3 = dataclasses.replace(st, pos=pos, species=spec)
+    full = np.asarray(jax.vmap(lambda s: lj.total_energy(s, p))(st3))
+    np.testing.assert_allclose(np.asarray(e), full, rtol=3e-4, atol=5e-2)
+    acc, tot = np.asarray(acc), np.asarray(tot)
+    assert np.array_equal(np.asarray(st.species).sum(1),
+                          np.asarray(spec).sum(1)), "composition not conserved"
+    frac = tot[:, 0].sum() / tot.sum()
+    print(f"mixed: cache consistent; disp frac {frac:.3f}; "
+          f"acc disp {acc[:, 0].sum() / tot[:, 0].sum():.3f} "
+          f"swap {acc[:, 1].sum() / tot[:, 1].sum():.3f}")
+    assert abs(frac - 0.8) < 0.05
+    print("LJ KERNELS VALIDATED")
 
 
 if __name__ == "__main__":
