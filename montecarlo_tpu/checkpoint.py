@@ -88,5 +88,10 @@ def resume_state(simulation, path: str) -> None:
     schedules beyond the checkpointed step) continues from it."""
     template = simulation.init_device_state()
     dstate = restore(path, template)
+    if simulation.mesh is not None:
+        # re-place on the mesh: restore() yields unsharded host arrays
+        from .parallel.mesh import shard_device_state
+        dstate = shard_device_state(dstate, simulation.mesh,
+                                    simulation.n_chains)
     simulation.device_state = dstate
     simulation.t = int(dstate["t"])
