@@ -25,6 +25,7 @@ from .core.tempering import ReplicaExchange, callback_swap_rate, tile_ladder
 from .core.wanglandau import (WangLandau, WangLandauModel, WangLandauRefine,
                               callback_wl_flatness, callback_wl_log_f,
                               wl_callbacks)
+from .core.ecmc import EventChain, EventChainModel, ecmc_callbacks
 from .utils.observability import ProfilerTrace, Throughput
 from .utils import analysis
 from . import checkpoint
@@ -46,6 +47,7 @@ __all__ = [
     "ReplicaExchange", "tile_ladder", "callback_swap_rate",
     "WangLandau", "WangLandauModel", "WangLandauRefine",
     "callback_wl_log_f", "callback_wl_flatness", "wl_callbacks",
+    "EventChain", "EventChainModel", "ecmc_callbacks",
     "Throughput", "ProfilerTrace", "analysis",
     "checkpoint", "parallel", "policy_guided",
 ]

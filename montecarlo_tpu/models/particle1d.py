@@ -34,6 +34,7 @@ __all__ = [
     "LangevinGaussian",
     "mala_move",
     "callback_energy",
+    "zigzag_model",
 ]
 
 
@@ -209,3 +210,58 @@ def callback_energy(view):
     """Mean cached energy over chains (ref ``callback_energy``,
     ``particle_1d.jl:68-70``)."""
     return jnp.mean(view.sys.e)
+
+
+# ---------------------------------------------------------------------------
+# Event-chain (zig-zag) sampler for the harmonic target
+# ---------------------------------------------------------------------------
+
+def zigzag_model():
+    """1-D event-chain model for the harmonic target exp(-beta x^2) —
+    the zig-zag process, with **closed-form** event times.
+
+    The lifted state is a velocity v in {-1, +1}; x moves ballistically and
+    v flips at events drawn from the hazard rate
+    ``lambda(t) = beta * max(0, d/dt U(x + v t))`` (U = x^2).  Integrating
+    the hazard: downhill motion (x v < 0) is event-free until x crosses 0;
+    uphill from coordinate w = max(x v, 0), the cumulative hazard is
+    ``beta ((w + s)^2 - w^2)``, so with E ~ Exp(1) the event time is
+
+        t* = -min(x v, 0) + sqrt(w^2 + E / beta) - w.
+
+    Every move is accepted; the sampler is non-reversible (v breaks detailed
+    balance) yet leaves exp(-beta x^2) invariant — the 1-D essence of
+    event-chain MC (ref capability claim ``README.md:27``).
+
+    ECMC expectations are **time averages**: the returned statistics
+    accumulate the exact trajectory integrals
+    ``t``, ``sx = int x dt``, ``sx2 = int x^2 dt``, ``sx4 = int x^4 dt``
+    (polynomial in closed form), so moments need no discretisation.
+    """
+    from ..core.ecmc import EventChainModel
+
+    def init_lift(state, key):
+        v = jnp.where(jax.random.bernoulli(key), 1.0, -1.0).astype(
+            jnp.result_type(state.x))
+        return {"v": v}
+
+    def event_step(state, lift, key):
+        x, beta, v = state.x, state.beta, lift["v"]
+        u = jax.random.uniform(key, (), jnp.result_type(x),
+                               minval=jnp.finfo(jnp.float32).tiny)
+        exp_draw = -jnp.log(u)                      # E ~ Exp(1)
+        xv = x * v
+        w = jnp.maximum(xv, 0.0)
+        t = -jnp.minimum(xv, 0.0) + jnp.sqrt(w * w + exp_draw / beta) - w
+
+        def poly_int(k):                            # int_0^t (x + v s)^k ds
+            return ((x + v * t) ** (k + 1) - x ** (k + 1)) / ((k + 1) * v)
+
+        stats = {"t": t, "sx": poly_int(1), "sx2": poly_int(2),
+                 "sx4": poly_int(4)}
+        xn = x + v * t
+        new_state = dataclasses.replace(state, x=xn, e=xn * xn)
+        return new_state, {"v": -v}, stats
+
+    return EventChainModel(init_lift=init_lift, event_step=event_step,
+                           name="ZigZagHarmonic1D")
