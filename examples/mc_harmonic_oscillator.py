@@ -54,6 +54,39 @@ def main():
     pos = np.concatenate(trj)
     print(f"position mean={pos.mean():.4f} std={pos.std():.4f} "
           f"(expect 0, {1 / np.sqrt(2 * beta):.4f})")
+    plot_density(path, pos, beta)
+
+
+def plot_density(path, pos, beta):
+    """Sampled density vs the analytic Boltzmann curve -> density.png
+    (ref ``MC_harmonic_oscillator.jl:31-53``)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping density.png")
+        return
+    fig, ax = plt.subplots(figsize=(5.4, 3.6), dpi=150)
+    ax.hist(pos, bins=60, density=True, color="#6b9bd1", alpha=0.85,
+            edgecolor="white", linewidth=0.3, label="sampled")
+    xs = np.linspace(pos.min(), pos.max(), 400)
+    target = np.exp(-beta * xs ** 2)
+    target /= np.trapezoid(target, xs)
+    ax.plot(xs, target, color="#1a1a2e", linewidth=2.0,
+            label=r"$\propto e^{-\beta x^2}$")
+    ax.set_xlabel("x")
+    ax.set_ylabel("density")
+    ax.set_title(f"Harmonic oscillator, $\\beta$ = {beta}")
+    ax.legend(frameon=False)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.grid(axis="y", color="#e6e6e6", linewidth=0.6)
+    ax.set_axisbelow(True)
+    fig.tight_layout()
+    out = os.path.join(path, "density.png")
+    fig.savefig(out)
+    plt.close(fig)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

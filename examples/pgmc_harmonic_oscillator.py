@@ -61,6 +61,48 @@ def main():
     sig0 = float(lines[0].split(" ", 1)[1].strip("[]"))
     sig1 = float(lines[-1].split(" ", 1)[1].strip("[]"))
     print(f"adapted sigma: {sig0:.3f} -> {sig1:.3f} (optimal ~1.2)")
+    plot_learning(path)
+
+
+def plot_learning(path):
+    """sigma(t) learning curves per move -> learning.png
+    (ref ``PGMC_harmonic_oscillator.jl:36-50``)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping learning.png")
+        return
+
+    def series(k):
+        ts, sig = [], []
+        for line in open(os.path.join(path, "parameters", str(k),
+                                      "parameters.dat")):
+            t, rest = line.split(" ", 1)
+            ts.append(int(t))
+            sig.append(float(rest.strip().strip("[]")))
+        return np.asarray(ts), np.asarray(sig)
+
+    fig, ax = plt.subplots(figsize=(5.4, 3.6), dpi=150)
+    for k, (name, color) in enumerate(
+            [("Static", "#6b9bd1"), ("VPG", "#c2503c")], start=1):
+        ts, sig = series(k)
+        ax.plot(ts, sig, color=color, linewidth=2.0, label=name)
+    ax.axhline(1.2, color="#9a9a9a", linewidth=1.2, linestyle="--",
+               label=r"optimal $\sigma \approx 1.2$")
+    ax.set_xlabel("t")
+    ax.set_ylabel(r"$\sigma$")
+    ax.set_title("PGMC proposal-width adaptation")
+    ax.legend(frameon=False)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.grid(axis="y", color="#e6e6e6", linewidth=0.6)
+    ax.set_axisbelow(True)
+    fig.tight_layout()
+    out = os.path.join(path, "learning.png")
+    fig.savefig(out)
+    plt.close(fig)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
