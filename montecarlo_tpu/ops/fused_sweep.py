@@ -77,18 +77,24 @@ def make_draw(hw_prng: bool, step_seed, shape):
     return lambda k: software_bits(step_seed, k, shape)
 
 
-def _sweep_kernel(potential, hw_prng, seed_ref, t0_ref, nsteps_ref, x_ref,
-                  beta_ref, sigma_ref, x_out, e_out, acc_out):
+def _sweep_kernel(potential, hw_prng, gridded, seed_ref, t0_ref, nsteps_ref,
+                  x_ref, beta_ref, sigma_ref, x_out, e_out, acc_out):
     sigma = sigma_ref[0]
     beta = beta_ref[:]
     shape = x_ref.shape
+    pid = pl.program_id(0) if gridded else jnp.int32(0)
 
     def body(i, carry):
         x, acc = carry
         # Re-seed per *absolute* timestep so trajectories are invariant to
         # how the run is sliced into segments by recorder schedules (matches
-        # the counter-based fold_in(t) semantics of the generic path).
-        draw = make_draw(hw_prng, _hash32(seed_ref[0] + t0_ref[0] + i), shape)
+        # the counter-based fold_in(t) semantics of the generic path).  The
+        # chain-block index is folded in (pid = 0 when the population fits
+        # one block, keeping small-M streams unchanged).
+        draw = make_draw(
+            hw_prng,
+            _hash32(seed_ref[0] + t0_ref[0] + i) + pid * jnp.int32(1000003),
+            shape)
         u1 = _uniform_from_bits(draw(0))
         u2 = _uniform_from_bits(draw(1))
         u3 = _uniform_from_bits(draw(2))
@@ -109,11 +115,18 @@ def _sweep_kernel(potential, hw_prng, seed_ref, t0_ref, nsteps_ref, x_ref,
     acc_out[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("potential", "interpret"))
+@functools.partial(jax.jit, static_argnames=("potential", "interpret",
+                                             "block_rows"))
 def fused_gaussian_sweep(x, beta, sigma, seed, t0, n_steps, *, potential,
-                         interpret=False):
+                         interpret=False, block_rows=2048):
     """Run ``n_steps`` Metropolis sweeps of a Gaussian displacement move over
     all chains inside one Pallas kernel.
+
+    Populations larger than one VMEM-resident block are tiled over a chain-
+    block grid (``block_rows`` sublane rows = ``block_rows * 128`` chains per
+    block, ~few MB of VMEM per array), with the block index folded into the
+    per-step seed; a single-block population (pid 0) keeps the exact stream
+    of the ungridded kernel.
 
     Args:
       x: (M,) float32 positions.
@@ -132,32 +145,42 @@ def fused_gaussian_sweep(x, beta, sigma, seed, t0, n_steps, *, potential,
     m = x.shape[0]
     m_pad = -(-m // _TILE) * _TILE
     rows = m_pad // _LANES
-    xp = jnp.zeros((rows, _LANES), x.dtype).reshape(-1).at[:m].set(x)
-    bp = jnp.zeros((m_pad,), beta.dtype).at[:m].set(beta)
-    xp = xp.reshape(rows, _LANES)
-    bp = bp.reshape(rows, _LANES)
+    br = min(block_rows, rows)
+    rows_pad = -(-rows // br) * br
+    grid = rows_pad // br
+    m_pad = rows_pad * _LANES
+    xp = jnp.zeros((m_pad,), x.dtype).at[:m].set(x).reshape(rows_pad, _LANES)
+    bp = jnp.zeros((m_pad,), beta.dtype).at[:m].set(beta).reshape(
+        rows_pad, _LANES)
 
-    kernel = functools.partial(_sweep_kernel, potential, not interpret)
+    kernel = functools.partial(_sweep_kernel, potential, not interpret,
+                               grid > 1)
+    if grid == 1:
+        # single-block fast path: whole-array VMEM residency, no grid
+        # machinery — the exact original kernel (pid = 0)
+        blk = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        grid_kw = {}
+    else:
+        blk = lambda: pl.BlockSpec((br, _LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+        grid_kw = {"grid": (grid,)}
     x_out, e_out, acc = pl.pallas_call(
         kernel,
+        **grid_kw,
         out_shape=(
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows_pad, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, _LANES), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),   # t0
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n_steps
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # beta
+            blk(),                                   # x
+            blk(),                                   # beta
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sigma
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        out_specs=(blk(), blk(), blk()),
         interpret=interpret,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
