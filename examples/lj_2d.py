@@ -10,6 +10,11 @@ import os
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import montecarlo_tpu as mc
 from montecarlo_tpu import policy_guided as pg
 from montecarlo_tpu.models import lennard_jones as lj

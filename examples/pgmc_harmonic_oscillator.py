@@ -12,6 +12,11 @@ import os
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import montecarlo_tpu as mc
 from montecarlo_tpu import policy_guided as pg
 from montecarlo_tpu.models import particle1d as p1d

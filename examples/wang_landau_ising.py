@@ -11,6 +11,11 @@ Run:  python examples/wang_landau_ising.py
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import montecarlo_tpu as mc
 from montecarlo_tpu.core.wanglandau import mean_log_g, reweight
 from montecarlo_tpu.models import ising2d
