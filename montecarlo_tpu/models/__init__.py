@@ -1,5 +1,5 @@
-from . import (heisenberg, ising, ising2d, lennard_jones, particle1d, potts,
-               xy)
+from . import (hard_disks, heisenberg, ising, ising2d, lennard_jones,
+               particle1d, potts, tfim, xy)
 
-__all__ = ["heisenberg", "ising", "ising2d", "lennard_jones", "particle1d",
-           "potts", "xy"]
+__all__ = ["hard_disks", "heisenberg", "ising", "ising2d", "lennard_jones",
+           "particle1d", "potts", "tfim", "xy"]
