@@ -43,6 +43,7 @@ __all__ = [
     "init_chains",
     "displacement_move",
     "ecmc_model",
+    "ecmc_pressure",
     "min_pair_distance",
     "overlap_free",
     "callback_min_distance",
@@ -200,7 +201,11 @@ def ecmc_model(chain_length: float,
     stays 0 — size the cap at several ``chain_length / mean_free_path``).
 
     Statistics: ``t`` (displacement), ``chains``, ``collisions``,
-    ``cap_hits``.
+    ``cap_hits``, and ``excess`` — the sum of projected contact separations
+    sqrt(1 - w²) over collisions, giving the ECMC pressure estimator
+    (Michel, Kapfer & Krauth 2014):
+
+        beta P / rho = 1 + <excess per chain> / chain_length.
     """
 
     def init_lift(state, key):
@@ -217,11 +222,11 @@ def ecmc_model(chain_length: float,
         idx = jnp.arange(n)
 
         def cond(carry):
-            pos, a, budget, ncoll, niter = carry
+            pos, a, budget, ncoll, niter, excess = carry
             return (budget > 0.0) & (niter < max_events_per_chain)
 
         def body(carry):
-            pos, a, budget, ncoll, niter = carry
+            pos, a, budget, ncoll, niter, excess = carry
             mask_a = idx == a
             p = jnp.sum(jnp.where(mask_a[:, None], pos, 0.0), axis=0)
             rel = pos - p
@@ -245,18 +250,41 @@ def ecmc_model(chain_length: float,
             new_p = (p + s * shift) % box
             pos = jnp.where(mask_a[:, None], new_p, pos)
             a = jnp.where(hit, j_star, a)
+            # projected contact separation of the hit pair (pressure term)
+            root_hit = jnp.sum(jnp.where(idx == j_star, root, 0.0))
+            excess = excess + jnp.where(hit, root_hit, 0.0)
             return (pos, a, budget - s, ncoll + hit.astype(jnp.int32),
-                    niter + 1)
+                    niter + 1, excess)
 
         budget0 = jnp.asarray(chain_length, jnp.float32)
-        pos, a, budget, ncoll, niter = jax.lax.while_loop(
+        pos, a, budget, ncoll, niter, excess = jax.lax.while_loop(
             cond, body, (pos0, a0, budget0, jnp.zeros((), jnp.int32),
-                         jnp.zeros((), jnp.int32)))
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.float32)))
         stats = {"t": chain_length - budget,
                  "chains": jnp.asarray(1.0, jnp.float32),
                  "collisions": ncoll.astype(jnp.float32),
-                 "cap_hits": (budget > 0.0).astype(jnp.float32)}
+                 "cap_hits": (budget > 0.0).astype(jnp.float32),
+                 "excess": excess}
         return dataclasses.replace(state, pos=pos), lift, stats
 
     return EventChainModel(init_lift=init_lift, event_step=event_step,
                            name="HardDiskStraightECMC")
+
+
+def ecmc_pressure(stats, chain_length: float, burn_excess=None,
+                  burn_chains=None):
+    """Reduced pressure beta P / rho from accumulated ECMC statistics.
+
+    ``beta P / rho = 1 + <excess per chain> / chain_length`` (Michel,
+    Kapfer & Krauth 2014).  Pass the ``ecmc`` slice's ``stats`` pytree; to
+    discard equilibration, subtract a snapshot (``burn_excess``,
+    ``burn_chains``) taken at the end of the burn-in.
+    """
+    import numpy as _np
+    excess = _np.asarray(stats["excess"], _np.float64).sum()
+    chains = _np.asarray(stats["chains"], _np.float64).sum()
+    if burn_excess is not None:
+        excess -= _np.asarray(burn_excess, _np.float64).sum()
+        chains -= _np.asarray(burn_chains, _np.float64).sum()
+    return 1.0 + excess / (chains * chain_length)

@@ -123,3 +123,26 @@ def test_hard_disks_ecmc_matches_metropolis():
     # same stationary distribution: min-distances agree within MC error
     # (96 chains, se ~ 0.3%/sqrt(96) of the mean)
     np.testing.assert_allclose(d_ecmc, d_mh, rtol=0.03)
+
+
+def test_hard_disks_ecmc_pressure_matches_virial():
+    """The ECMC chain-span pressure estimator (beta P/rho = 1 + <excess>/l,
+    Michel-Kapfer-Krauth 2014) must reproduce the hard-disk virial
+    expansion at low density (B2..B5 terms; finite-size + truncation ~1%)."""
+    eta, n_disks, n_chains = 0.15, 32, 64
+    rho = 4.0 * eta / np.pi
+    chains = hd.init_chains(n_chains, n_disks, eta, seed=3)
+    sim = mc.Simulation(
+        hd.make_system(), chains,
+        [dict(algorithm=mc.EventChain, model=hd.ecmc_model(3.0),
+              events_per_step=8, seed=11)],
+        120, path="/tmp/mctpu_test_hd_press")
+    sim.run()
+    st = sim.device_state["ecmc"]["stats"]
+    assert np.asarray(st["cap_hits"]).sum() == 0
+    p = hd.ecmc_pressure(st, 3.0)
+    b2 = np.pi / 2
+    virial = (1.0 + b2 * rho + 0.78202 * b2 ** 2 * rho ** 2
+              + 0.53223 * b2 ** 3 * rho ** 3
+              + 0.33356 * b2 ** 4 * rho ** 4)
+    np.testing.assert_allclose(p, virial, rtol=0.03)
