@@ -1,5 +1,5 @@
 from . import (hard_disks, heisenberg, ising, ising2d, lennard_jones,
-               particle1d, potts, tfim, xy)
+               particle1d, polydisperse, potts, tfim, xy)
 
 __all__ = ["hard_disks", "heisenberg", "ising", "ising2d", "lennard_jones",
-           "particle1d", "potts", "tfim", "xy"]
+           "particle1d", "polydisperse", "potts", "tfim", "xy"]

@@ -1,0 +1,307 @@
+"""Continuously polydisperse soft spheres — swap Monte Carlo for glasses.
+
+The reference organisation's particle companion (README.md:26-31 →
+TheDisorderedOrganization/ParticlesMC) targets glass-forming liquids, where
+the modern workhorse is **swap MC on continuously polydisperse mixtures**
+(Ninarello, Berthier & Coslovich 2017): exchanging particle *diameters*
+equilibrates deeply supercooled states orders of magnitude faster than
+displacement dynamics alone.  This module ships that model family:
+
+- inverse-power-law pair potential ``u = (sigma_ij/r)^12 + smoothing`` with
+  the standard non-additive cross diameter
+  ``sigma_ij = (d_i + d_j)/2 * (1 - eps |d_i - d_j|)`` (eps = 0.2) and a
+  C2-smooth cutoff at ``r = x_c sigma_ij`` (polynomial tail with u, u', u''
+  all zero at the cut — coefficients solved exactly at import);
+- power-law diameter distribution ``P(d) ~ d^-3`` on [0.73, 1.62] (the
+  established continuous-polydispersity protocol), sampled by inverse CDF;
+- :func:`displacement_move` (O(N) incremental dE, same TPU pattern as
+  ``lennard_jones``) and :func:`swap_move` — exchange the diameters of a
+  uniformly-chosen particle pair (self-inverse, logq cancels).
+
+Both moves run through the generic engine; since displacement-only and
+displacement+swap sample the SAME canonical ensemble, their equilibrium
+observables must agree — which is exactly the statistical gate in
+``tests/test_polydisperse.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.moves import Move, MoveDef, Policy
+from ..core.system import SystemDef
+
+__all__ = [
+    "PolyState",
+    "PolyParams",
+    "make_system",
+    "init_chains",
+    "sample_diameters",
+    "displacement_move",
+    "swap_move",
+    "total_energy",
+    "callback_energy_per_particle",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PolyState:
+    """Single-chain state."""
+    pos: jax.Array    # (N, 2) positions in [0, L)
+    diam: jax.Array   # (N,) particle diameters
+    beta: jax.Array   # () inverse temperature
+    energy: jax.Array # () cached total potential energy
+    box: jax.Array    # () box edge L
+
+
+def _smoothing_coeffs(xc: float):
+    """(c0, c2, c4) with u(xc)=u'(xc)=u''(xc)=0 for u = x^-12 + c0 + c2 x^2
+    + c4 x^4 (x = r/sigma_ij)."""
+    a = np.array([
+        [1.0, xc ** 2, xc ** 4],
+        [0.0, 2 * xc, 4 * xc ** 3],
+        [0.0, 2.0, 12 * xc ** 2],
+    ])
+    b = np.array([-xc ** -12, 12 * xc ** -13, -156 * xc ** -14])
+    c0, c2, c4 = np.linalg.solve(a, b)
+    return float(c0), float(c2), float(c4)
+
+
+@dataclasses.dataclass(frozen=True)
+class PolyParams:
+    """Static model constants (Ninarello-Berthier-Coslovich values)."""
+    eps: float = 0.2          # cross-diameter non-additivity
+    xc: float = 1.25          # cutoff in units of sigma_ij
+    d_min: float = 0.73       # diameter distribution support
+    d_max: float = 1.62
+
+    def coeffs(self):
+        return _smoothing_coeffs(self.xc)
+
+
+def _pair_energy(r2, sig, params: PolyParams, c0, c2, c4):
+    """Smoothed IPL-12 on squared distances (vectorized)."""
+    sig2 = sig * sig
+    x2 = r2 / jnp.maximum(sig2, 1e-12)
+    inv2 = 1.0 / jnp.maximum(x2, 1e-12)
+    inv12 = inv2 * inv2 * inv2
+    inv12 = inv12 * inv12
+    u = inv12 + c0 + c2 * x2 + c4 * x2 * x2
+    return jnp.where(x2 < params.xc ** 2, u, 0.0)
+
+
+def _sigma_ij(d_i, d_j, eps):
+    return 0.5 * (d_i + d_j) * (1.0 - eps * jnp.abs(d_i - d_j))
+
+
+def _min_image_r2(pos, x, box):
+    d = pos - x
+    d = d - box * jnp.round(d / box)
+    return jnp.sum(d * d, axis=-1)
+
+
+def _row_energy(state: PolyState, x, d_i, mask, params: PolyParams,
+                coeffs):
+    """Energy of a (virtual) particle at ``x`` with diameter ``d_i`` against
+    all rows (``mask`` True rows excluded)."""
+    r2 = _min_image_r2(state.pos, x, state.box)
+    sig = _sigma_ij(d_i, state.diam, params.eps)
+    u = _pair_energy(r2, sig, params, *coeffs)
+    return jnp.sum(jnp.where(mask, 0.0, u))
+
+
+def total_energy(state: PolyState, params: PolyParams = PolyParams()):
+    coeffs = params.coeffs()
+    d = state.pos[:, None, :] - state.pos[None, :, :]
+    d = d - state.box * jnp.round(d / state.box)
+    r2 = jnp.sum(d * d, axis=-1)
+    sig = _sigma_ij(state.diam[:, None], state.diam[None, :], params.eps)
+    u = _pair_energy(r2, sig, params, *coeffs)
+    n = state.pos.shape[0]
+    mask = ~jnp.eye(n, dtype=bool)
+    return 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
+
+
+def make_system(params: PolyParams = PolyParams()) -> SystemDef:
+    def log_target(state: PolyState):
+        return -state.beta * state.energy
+
+    def frame(state: PolyState):
+        return {"pos": state.pos, "diam": state.diam,
+                "energy": state.energy}
+
+    def format_frame(t, fr):
+        n = fr["pos"].shape[0]
+        lines = [f"{t} {n} {float(fr['energy'])!r}"]
+        for k in range(n):
+            lines.append(f"{float(fr['diam'][k])!r} "
+                         f"{float(fr['pos'][k, 0])!r} "
+                         f"{float(fr['pos'][k, 1])!r}")
+        return "\n".join(lines)
+
+    return SystemDef(name="PolydisperseSoftSpheres2D",
+                     log_target=log_target, frame=frame,
+                     format_frame=format_frame)
+
+
+def sample_diameters(n: int, params: PolyParams = PolyParams(),
+                     seed: int = 0) -> np.ndarray:
+    """P(d) ~ d^-3 on [d_min, d_max] by inverse CDF (numpy, host-side)."""
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(size=n)
+    a, b = params.d_min, params.d_max
+    # CDF(d) = (a^-2 - d^-2) / (a^-2 - b^-2)
+    inv2 = a ** -2 - u * (a ** -2 - b ** -2)
+    return (inv2 ** -0.5).astype(np.float32)
+
+
+def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
+                seed: int = 42,
+                params: PolyParams = PolyParams()) -> PolyState:
+    """Square-lattice start; every chain gets the same diameter draw (the
+    composition is quenched disorder shared across chains)."""
+    box = float(np.sqrt(n_particles / rho))
+    side = int(np.ceil(np.sqrt(n_particles)))
+    spacing = box / side
+    grid = np.stack(np.meshgrid(np.arange(side), np.arange(side)),
+                    axis=-1).reshape(-1, 2)[:n_particles]
+    base = (grid + 0.5) * spacing
+    diam = sample_diameters(n_particles, params, seed=seed + 1)
+
+    key = jax.random.key(seed)
+    jitter = (0.1 * spacing) * jax.random.uniform(
+        key, (n_chains, n_particles, 2), minval=-1.0, maxval=1.0)
+    pos = (jnp.asarray(base, jnp.float32)[None] + jitter) % box
+
+    state = PolyState(
+        pos=pos,
+        diam=jnp.broadcast_to(jnp.asarray(diam), (n_chains, n_particles)),
+        beta=jnp.full((n_chains,), beta, jnp.float32),
+        energy=jnp.zeros((n_chains,), jnp.float32),
+        box=jnp.full((n_chains,), box, jnp.float32),
+    )
+    energy = jax.vmap(lambda s: total_energy(s, params))(state)
+    return dataclasses.replace(state, energy=energy)
+
+
+# ---------------------------------------------------------------------------
+# Moves
+# ---------------------------------------------------------------------------
+
+class GaussianDisplacement2D(Policy):
+    """Uniform particle pick + isotropic Gaussian displacement (symmetric
+    in the ratio — both directions still evaluated by the generic kernel)."""
+
+    def sample(self, params, key, state):
+        ki, kd = jax.random.split(key)
+        n = state.pos.shape[0]
+        i = jax.random.randint(ki, (), 0, n)
+        delta = params["sigma"] * jax.random.normal(kd, (2,))
+        return {"i": i, "delta": delta}
+
+    def log_density(self, params, action, state):
+        sigma = params["sigma"]
+        d2 = jnp.sum(action["delta"] ** 2)
+        n = state.pos.shape[0]
+        return (-d2 / (2.0 * sigma * sigma)
+                - jnp.log(2.0 * jnp.pi * sigma * sigma)
+                - jnp.log(jnp.asarray(float(n), sigma.dtype)))
+
+
+def displacement_move(sigma: float, weight: float = 1.0,
+                      params: PolyParams = PolyParams()) -> Move:
+    coeffs = params.coeffs()
+
+    def apply(state: PolyState, action):
+        i, delta = action["i"], action["delta"]
+        n = state.pos.shape[0]
+        mask = jnp.arange(n) == i
+        old = jnp.sum(jnp.where(mask[:, None], state.pos, 0.0), axis=0)
+        d_i = jnp.sum(jnp.where(mask, state.diam, 0.0))
+        new = old + delta
+        e_old = _row_energy(state, old, d_i, mask, params, coeffs)
+        e_new = _row_energy(state, new, d_i, mask, params, coeffs)
+        d_e = e_new - e_old
+        pos = jnp.where(mask[:, None], new % state.box, state.pos)
+        new_state = dataclasses.replace(
+            state, pos=pos, energy=state.energy + d_e)
+        return new_state, -state.beta * d_e
+
+    def invert(action, new_state):
+        return {"i": action["i"], "delta": -action["delta"]}
+
+    def reward(action, new_state):
+        return jnp.sum(action["delta"] ** 2)
+
+    md = MoveDef(name="PolyDisplacement", policy=GaussianDisplacement2D(),
+                 apply=apply, invert=invert, reward=reward,
+                 kind="poly_displacement_2d", aux=params)
+    return Move(move=md, params={"sigma": jnp.asarray(sigma, jnp.float32)},
+                weight=weight)
+
+
+class UniformPair(Policy):
+    """Uniform unordered particle pair; self-inverse swap proposal."""
+
+    def sample(self, params, key, state):
+        ki, kj = jax.random.split(key)
+        n = state.pos.shape[0]
+        i = jax.random.randint(ki, (), 0, n)
+        # j uniform over the other n-1 indices
+        j = jax.random.randint(kj, (), 0, n - 1)
+        j = jnp.where(j >= i, j + 1, j)
+        return {"i": i, "j": j}
+
+    def log_density(self, params, action, state):
+        n = state.pos.shape[0]
+        return -jnp.log(jnp.asarray(float(n * (n - 1)), jnp.float32))
+
+
+def swap_move(weight: float = 1.0,
+              params: PolyParams = PolyParams()) -> Move:
+    """Exchange the diameters of particles (i, j) — the glass-equilibration
+    accelerator.  dE is two O(N) row updates; the i-j pair term is invariant
+    (sigma_ij symmetric in the exchange) and cancels."""
+    coeffs = params.coeffs()
+
+    def apply(state: PolyState, action):
+        i, j = action["i"], action["j"]
+        n = state.pos.shape[0]
+        idx = jnp.arange(n)
+        mask_i, mask_j = idx == i, idx == j
+        mask_ij = mask_i | mask_j
+        gather_d = lambda m: jnp.sum(jnp.where(m, state.diam, 0.0))
+        gather_x = lambda m: jnp.sum(
+            jnp.where(m[:, None], state.pos, 0.0), axis=0)
+        d_i, d_j = gather_d(mask_i), gather_d(mask_j)
+        x_i, x_j = gather_x(mask_i), gather_x(mask_j)
+        e_old = (_row_energy(state, x_i, d_i, mask_ij, params, coeffs)
+                 + _row_energy(state, x_j, d_j, mask_ij, params, coeffs))
+        e_new = (_row_energy(state, x_i, d_j, mask_ij, params, coeffs)
+                 + _row_energy(state, x_j, d_i, mask_ij, params, coeffs))
+        d_e = e_new - e_old
+        diam = jnp.where(mask_i, d_j, jnp.where(mask_j, d_i, state.diam))
+        new_state = dataclasses.replace(
+            state, diam=diam, energy=state.energy + d_e)
+        return new_state, -state.beta * d_e
+
+    def invert(action, new_state):
+        return action  # self-inverse
+
+    def reward(action, new_state):
+        return jnp.asarray(1.0, jnp.float32)
+
+    md = MoveDef(name="PolySwap", policy=UniformPair(),
+                 apply=apply, invert=invert, reward=reward,
+                 kind="poly_swap", aux=params)
+    return Move(move=md, params={"dummy": jnp.zeros(())}, weight=weight)
+
+
+def callback_energy_per_particle(view):
+    n = view.sys.pos.shape[-2]
+    return jnp.mean(view.sys.energy) / n
