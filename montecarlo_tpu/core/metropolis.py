@@ -302,8 +302,9 @@ class Metropolis(DeviceAlgorithm):
         kinds = tuple(m.move.kind for m in self.pool)
         if self.n_moves == 1:
             return kinds[0] in self._FUSED_KINDS
-        if self.n_moves == 2 and set(kinds) == {"lj_displacement_2d",
-                                                "lj_swap"}:
+        if self.n_moves == 2 and set(kinds) in (
+                {"lj_displacement_2d", "lj_swap"},
+                {"poly_displacement_2d", "poly_swap"}):
             # one shared static interaction table
             return self.pool[0].move.aux == self.pool[1].move.aux
         return False
@@ -329,24 +330,38 @@ class Metropolis(DeviceAlgorithm):
         seed = jnp.int32(self.seed)
         axis = self.mesh.axis_names[0] if self.mesh is not None else None
 
-        if self.n_moves == 2:        # mixed LJ displacement + swap pool
-            from ..ops.lj_sweep import (fused_lj_mixed_sweep,
-                                        sharded_lj_mixed_sweep)
-            disp_idx = kinds.index("lj_displacement_2d")
-            swap_idx = kinds.index("lj_swap")
-            lj_params = self.pool[disp_idx].move.aux
+        if self.n_moves == 2:        # mixed displacement + swap pool
+            is_lj = "lj_swap" in kinds
+            if is_lj:
+                from ..ops.lj_sweep import (fused_lj_mixed_sweep as fused,
+                                            sharded_lj_mixed_sweep as shrd)
+                disp_idx = kinds.index("lj_displacement_2d")
+                swap_idx = kinds.index("lj_swap")
+                ident = sys.species
+            else:
+                from ..ops.poly_sweep import (
+                    fused_poly_mixed_sweep as fused,
+                    sharded_poly_mixed_sweep as shrd)
+                disp_idx = kinds.index("poly_displacement_2d")
+                swap_idx = kinds.index("poly_swap")
+                ident = sys.diam
+            aux_params = self.pool[disp_idx].move.aux
             sigma = jax.tree_util.tree_leaves(params[disp_idx])[0]
             w_disp = float(self.weights[disp_idx] / self.weights.sum())
-            args = (sys.pos, sys.species, sys.beta, sys.energy, sys.box[0],
+            args = (sys.pos, ident, sys.beta, sys.energy, sys.box[0],
                     sigma, w_disp, seed, micro_t0, total)
             if self.mesh is not None:
-                pos, species, energy, acc, tot = sharded_lj_mixed_sweep(
-                    self.mesh, axis, *args, params=lj_params)
+                pos, ident_out, energy, acc, tot = shrd(
+                    self.mesh, axis, *args, params=aux_params)
             else:
-                pos, species, energy, acc, tot = fused_lj_mixed_sweep(
-                    *args, params=lj_params)
-            new_sys = dataclasses.replace(sys, pos=pos, species=species,
-                                          energy=energy)
+                pos, ident_out, energy, acc, tot = fused(
+                    *args, params=aux_params)
+            if is_lj:
+                new_sys = dataclasses.replace(
+                    sys, pos=pos, species=ident_out, energy=energy)
+            else:
+                new_sys = dataclasses.replace(
+                    sys, pos=pos, diam=ident_out, energy=energy)
             inc = jnp.zeros_like(slc["counters"])
             inc = inc.at[:, disp_idx, 0].add(acc[:, 0])
             inc = inc.at[:, disp_idx, 1].add(tot[:, 0])

@@ -287,6 +287,78 @@ def test_lj_mixed_kernel_matches_generic_acceptance(lj_state):
     assert abs(rate_fused[1] - rate_generic[1]) < 0.10
 
 
+def _poly_state():
+    from montecarlo_tpu.models import polydisperse as poly
+    p = poly.PolyParams()
+    st = poly.init_chains(8, 32, rho=0.9, beta=1.0, seed=5, params=p)
+    return poly, p, st
+
+
+def test_poly_mixed_kernel_cache_and_composition():
+    """Fused polydisperse swap kernel: incremental energies consistent with
+    an O(N^2) recompute, diameter multiset conserved, swaps accepted."""
+    from montecarlo_tpu.ops.poly_sweep import fused_poly_mixed_sweep
+    poly, p, st = _poly_state()
+    pos, dia, e, acc, tot = fused_poly_mixed_sweep(
+        st.pos, st.diam, st.beta, st.energy, float(st.box[0]),
+        0.1, 0.7, 7, 0, 300, params=p, interpret=True, block_chains=8)
+    st2 = dataclasses.replace(st, pos=pos, diam=dia)
+    full = np.asarray(jax.vmap(lambda s: poly.total_energy(s, p))(st2))
+    np.testing.assert_allclose(np.asarray(e), full, rtol=3e-3, atol=8e-2)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dia), axis=1),
+        np.sort(np.asarray(st.diam), axis=1), rtol=1e-6)
+    acc, tot = np.asarray(acc), np.asarray(tot)
+    assert np.all(tot.sum(axis=1) == 300)
+    assert acc[:, 1].sum() > 0
+    assert not np.array_equal(np.asarray(dia), np.asarray(st.diam))
+
+
+def test_poly_mixed_kernel_matches_generic_acceptance():
+    """Displacement and swap acceptance rates agree between the fused poly
+    kernel and the generic engine on the same mixed pool."""
+    from montecarlo_tpu.ops.poly_sweep import fused_poly_mixed_sweep
+    poly, p, st = _poly_state()
+    steps = 400
+    _, _, _, acc, tot = fused_poly_mixed_sweep(
+        st.pos, st.diam, st.beta, st.energy, float(st.box[0]),
+        0.1, 0.7, 7, 0, steps, params=p, interpret=True, block_chains=8)
+    acc, tot = np.asarray(acc), np.asarray(tot)
+    rate_fused = acc.sum(axis=0) / np.maximum(tot.sum(axis=0), 1)
+
+    pool = (poly.displacement_move(0.1, weight=0.7, params=p),
+            poly.swap_move(weight=0.3, params=p))
+    sim = mc.Simulation(
+        poly.make_system(p), st,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=3)],
+        steps, path="/tmp/mctpu_test_fused_poly")
+    from montecarlo_tpu.core.simulation import _make_advance
+    ds = sim.init_device_state()
+    adv = jax.jit(_make_advance(sim.device_algos))
+    out = adv(ds, (jnp.ones(steps + 1, bool),), steps)
+    cnt = np.asarray(out["metropolis"]["counters"])
+    rate_generic = cnt[..., 0].sum(axis=0) / cnt[..., 1].sum(axis=0)
+    assert abs(rate_fused[0] - rate_generic[0]) < 0.08
+    assert abs(rate_fused[1] - rate_generic[1]) < 0.10
+
+
+def test_poly_mixed_kernel_segmentation_invariance():
+    from montecarlo_tpu.ops.poly_sweep import fused_poly_mixed_sweep
+    poly, p, st = _poly_state()
+
+    def run(pos, dia, e, t0, n):
+        return fused_poly_mixed_sweep(
+            pos, dia, st.beta, e, float(st.box[0]), 0.1, 0.7, 7, t0, n,
+            params=p, interpret=True, block_chains=8)
+
+    pos_a, dia_a, e_a, _, _ = run(st.pos, st.diam, st.energy, 0, 240)
+    pos_b, dia_b, e_b = st.pos, st.diam, st.energy
+    for k in range(3):
+        pos_b, dia_b, e_b, _, _ = run(pos_b, dia_b, e_b, k * 80, 80)
+    assert np.array_equal(np.asarray(pos_a), np.asarray(pos_b))
+    assert np.array_equal(np.asarray(dia_a), np.asarray(dia_b))
+
+
 def test_sharded_lj_mixed_sweep_runs_on_mesh(lj_state):
     from montecarlo_tpu.parallel import make_mesh
     p, st = lj_state
