@@ -12,7 +12,6 @@ import os
 
 import numpy as np
 
-import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

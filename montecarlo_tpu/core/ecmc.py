@@ -138,6 +138,5 @@ def ecmc_callbacks(state_key: str = "ecmc"):
     def events(view: SimView):
         return jnp.mean(view.state[state_key]["n_events"].astype(jnp.float32))
 
-    events.__name__ = (f"callback_{state_key}_events"
-                       if state_key != "ecmc" else "callback_ecmc_events")
+    events.__name__ = f"callback_{state_key}_events"
     return (events,)

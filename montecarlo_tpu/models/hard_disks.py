@@ -261,10 +261,13 @@ def ecmc_model(chain_length: float,
             cond, body, (pos0, a0, budget0, jnp.zeros((), jnp.int32),
                          jnp.zeros((), jnp.int32),
                          jnp.zeros((), jnp.float32)))
+        # event counts accumulate as int32 (exact up to 2^31); the float32
+        # sums (t, excess) keep full precision up to ~2^24 per chain —
+        # beyond ~10^7 events per chain, read them out periodically
         stats = {"t": chain_length - budget,
-                 "chains": jnp.asarray(1.0, jnp.float32),
-                 "collisions": ncoll.astype(jnp.float32),
-                 "cap_hits": (budget > 0.0).astype(jnp.float32),
+                 "chains": jnp.asarray(1, jnp.int32),
+                 "collisions": ncoll,
+                 "cap_hits": (budget > 0.0).astype(jnp.int32),
                  "excess": excess}
         return dataclasses.replace(state, pos=pos), lift, stats
 

@@ -55,11 +55,15 @@ def software_bits(step_seed, draw, shape):
     lowering).  Two murmur-finalizer rounds over (seed, draw index, lane
     index); a different stream than the hardware PRNG, which is fine — the
     kernel's statistical contract, not its bit stream, is what tests pin."""
+    import numpy as _np
     cols = shape[-1]
     flat = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * cols
             + jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1))
     h = flat * jnp.int32(-1640531527) + step_seed        # 0x9E3779B9
-    h = _hash32(h ^ jnp.int32(draw * 0x3243F6A9))
+    # wrap the static draw tag through uint32 (draw >= 3 would overflow a
+    # direct jnp.int32(...) construction)
+    tag = int(_np.uint32(draw * 0x3243F6A9).view(_np.int32))
+    h = _hash32(h ^ jnp.int32(tag))
     h = _hash32(h + jnp.int32(draw))
     return jax.lax.bitcast_convert_type(h, jnp.uint32)
 
@@ -193,6 +197,13 @@ def fused_gaussian_sweep(x, beta, sigma, seed, t0, n_steps, *, potential,
     return flat(x_out), flat(e_out), flat(acc)
 
 
+def _shard_seed(axis, seed):
+    """Fold the shard index into the PRNG seed (one stream per shard) —
+    shared by every sharded fused kernel (gaussian/LJ/poly)."""
+    sidx = jax.lax.axis_index(axis)
+    return seed + (sidx.astype(jnp.int32) + 1) * jnp.int32(-1640531527)
+
+
 def sharded_gaussian_sweep(mesh, axis, x, beta, sigma, seed, t0, n_steps, *,
                            potential, interpret=False):
     """Multi-device fused sweep: each shard runs the VMEM-resident kernel on
@@ -207,10 +218,8 @@ def sharded_gaussian_sweep(mesh, axis, x, beta, sigma, seed, t0, n_steps, *,
     from jax import shard_map
 
     def local(x_l, beta_l, sigma_l, seed_l, t0_l, n_l):
-        sidx = jax.lax.axis_index(axis)
-        shard_seed = (seed_l
-                      + (sidx.astype(jnp.int32) + 1) * jnp.int32(-1640531527))
-        return fused_gaussian_sweep(x_l, beta_l, sigma_l, shard_seed, t0_l,
+        return fused_gaussian_sweep(x_l, beta_l, sigma_l,
+                                    _shard_seed(axis, seed_l), t0_l,
                                     n_l, potential=potential,
                                     interpret=interpret)
 

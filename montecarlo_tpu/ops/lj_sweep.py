@@ -50,7 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_sweep import _hash32, make_draw
+from .fused_sweep import _hash32, _shard_seed, make_draw
 
 __all__ = [
     "fused_lj_sweep",
@@ -252,6 +252,10 @@ def _mixed_kernel(n_particles, hw_prng, scalars_ref, seed_ref, t0_ref,
         oh_ij = oh_i | oh_j
         oh_i_f = oh_i.astype(jnp.float32)
         oh_j_f = oh_j.astype(jnp.float32)
+        # a mono-species chain has one empty one-hot: its "partner" would be
+        # a phantom particle at the origin — reject the attempt outright
+        valid = (jnp.sum(oh_i_f, axis=1, keepdims=True) > 0.0) \
+            & (jnp.sum(oh_j_f, axis=1, keepdims=True) > 0.0)
         x_i = jnp.sum(x * oh_i_f, axis=1, keepdims=True)
         y_i = jnp.sum(y * oh_i_f, axis=1, keepdims=True)
         x_j = jnp.sum(x * oh_j_f, axis=1, keepdims=True)
@@ -267,9 +271,7 @@ def _mixed_kernel(n_particles, hw_prng, scalars_ref, seed_ref, t0_ref,
                  + row_energy(x, y, spc, x_j, y_j, zero, oh_ij))
         d_e = e_new - e_old
 
-        # no valid pair (mono-species block): both one-hots are empty, dE=0,
-        # and the species update below is a no-op — harmless always-accept
-        accept = jnp.log(u_acc) < -beta * d_e
+        accept = valid & (jnp.log(u_acc) < -beta * d_e)
         upd = accept
         spc = jnp.where(upd & oh_i, 1.0, jnp.where(upd & oh_j, 0.0, spc))
         e = e + jnp.where(accept, d_e, 0.0)
@@ -478,11 +480,6 @@ def fused_lj_mixed_sweep(pos, species, beta, energy, box, sigma, w_disp,
 # ---------------------------------------------------------------------------
 # shard_map wrappers (chain-axis sharding, block-indexed shard streams)
 # ---------------------------------------------------------------------------
-
-def _shard_seed(axis, seed):
-    sidx = jax.lax.axis_index(axis)
-    return seed + (sidx.astype(jnp.int32) + 1) * jnp.int32(-1640531527)
-
 
 def sharded_lj_sweep(mesh, axis, pos, species, beta, energy, box, sigma,
                      seed, t0, n_steps, *, params, interpret=False,

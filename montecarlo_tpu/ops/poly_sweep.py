@@ -9,9 +9,9 @@ VMEM for a whole segment; each attempt is ~40 wide vector ops over
 - block-shared per-step move-kind draw (displacement w.p. ``w_disp``, else
   diameter swap) via ``lax.cond`` — each step pays only its branch;
 - displacement: uniform pick + Gaussian proposal, O(N) row dE;
-- swap: two uniform picks (i == j with probability 1/N is a harmless
-  identity proposal), diameters exchanged, 4 row passes for dE — the i-j
-  pair term is invariant (sigma_ij symmetric) and cancels;
+- swap: a uniform unordered pair with j != i (the generic ``UniformPair``
+  convention), diameters exchanged, 4 row passes for dE — the i-j pair
+  term is invariant (sigma_ij symmetric) and cancels;
 - per-move acceptance counters, per-absolute-step seeding (segmentation-
   invariant), ``shard_map`` wrapper for chain meshes.
 """
@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_sweep import _hash32, make_draw
+from .fused_sweep import _hash32, _shard_seed, make_draw
 from .lj_sweep import _uniform, _pad_chains
 
 __all__ = ["fused_poly_mixed_sweep", "sharded_poly_mixed_sweep"]
@@ -93,8 +93,15 @@ def _poly_kernel(n_particles, hw_prng, scalars_ref, seed_ref, t0_ref,
     def swap_branch(args):
         step_seed, x, y, dia, e = args
         bits = make_draw(hw_prng, step_seed ^ jnp.int32(0x51AB), (b, _LANES))(0)
-        oh_i = pick(_uniform(bits[:, 0:1]))
-        oh_j = pick(_uniform(bits[:, 1:2]))
+        # uniform unordered pair with j != i (matches the generic
+        # UniformPair policy: j drawn over the other n-1 indices)
+        i_sel = jnp.minimum(
+            (_uniform(bits[:, 0:1]) * n).astype(jnp.int32), n - 1)
+        j_raw = jnp.minimum(
+            (_uniform(bits[:, 1:2]) * (n - 1)).astype(jnp.int32), n - 2)
+        j_sel = j_raw + (j_raw >= i_sel).astype(jnp.int32)
+        oh_i = col == i_sel
+        oh_j = col == j_sel
         u_acc = _uniform(bits[:, 2:3])
         oh_ij = oh_i | oh_j
         oh_i_f = oh_i.astype(jnp.float32)
@@ -106,7 +113,6 @@ def _poly_kernel(n_particles, hw_prng, scalars_ref, seed_ref, t0_ref,
         d_i = jnp.sum(dia * oh_i_f, axis=1, keepdims=True)
         d_j = jnp.sum(dia * oh_j_f, axis=1, keepdims=True)
 
-        # i == j (identity proposal, p = 1/N): dE = 0, swap is a no-op
         e_old = (row_energy(x, y, dia, x_i, y_i, d_i, oh_ij)
                  + row_energy(x, y, dia, x_j, y_j, d_j, oh_ij))
         e_new = (row_energy(x, y, dia, x_i, y_i, d_j, oh_ij)
@@ -222,7 +228,6 @@ def sharded_poly_mixed_sweep(mesh, axis, pos, diam, beta, energy, box,
     """Multi-device fused polydisperse swap sweep under ``shard_map``."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
-    from .lj_sweep import _shard_seed
 
     def local(pos_l, dia_l, beta_l, erg_l, box_l, sigma_l, w_l, seed_l,
               t0_l, n_l):

@@ -287,6 +287,24 @@ def test_lj_mixed_kernel_matches_generic_acceptance(lj_state):
     assert abs(rate_fused[1] - rate_generic[1]) < 0.10
 
 
+def test_lj_mixed_kernel_mono_species_is_safe():
+    """A chain with zero B particles must treat every swap attempt as a
+    rejection (no phantom-particle dE, no species corruption) — round-3
+    review regression."""
+    p = lj.LJParams()
+    st = lj.init_chains(4, 24, rho=0.5, beta=1.0, frac_b=0.0, seed=2,
+                        params=p)
+    pos, spc, e, acc, tot = fused_lj_mixed_sweep(
+        st.pos, st.species, st.beta, st.energy, float(st.box[0]),
+        0.1, 0.5, 7, 0, 200, params=p, interpret=True, block_chains=4)
+    assert np.asarray(spc).sum() == 0                 # still all-A
+    assert np.asarray(acc)[:, 1].sum() == 0           # all swaps rejected
+    assert np.asarray(tot)[:, 1].sum() > 0            # but attempted
+    st2 = dataclasses.replace(st, pos=pos)
+    full = np.asarray(jax.vmap(lambda s: lj.total_energy(s, p))(st2))
+    np.testing.assert_allclose(np.asarray(e), full, rtol=3e-4, atol=5e-2)
+
+
 def _poly_state():
     from montecarlo_tpu.models import polydisperse as poly
     p = poly.PolyParams()
