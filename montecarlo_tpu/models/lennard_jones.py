@@ -30,8 +30,10 @@ __all__ = [
     "init_chains",
     "lj_displacement_move",
     "lj_swap_move",
+    "lj_volume_move",
     "total_energy",
     "callback_energy_per_particle",
+    "callback_density",
 ]
 
 
@@ -310,3 +312,69 @@ def lj_swap_move(weight: float = 1.0,
 def callback_energy_per_particle(view):
     n = view.sys.pos.shape[-2]
     return jnp.mean(view.sys.energy) / n
+
+
+# ---------------------------------------------------------------------------
+# NPT ensemble: volume moves
+# ---------------------------------------------------------------------------
+
+class UniformLogVolume(Policy):
+    """Symmetric uniform step in ln V (standard NPT volume proposal)."""
+
+    def sample(self, params, key, state):
+        return params["dlnv"] * jax.random.uniform(
+            key, (), minval=-1.0, maxval=1.0)
+
+    def log_density(self, params, action, state):
+        return -jnp.log(2.0 * params["dlnv"])
+
+
+def lj_volume_move(dlnv: float, pressure: float, weight: float = 1.0,
+                   params: LJParams = LJParams()) -> Move:
+    """Isotropic volume-scaling move — the NPT ensemble (a capability the
+    reference engine does not reach: its state never changes geometry).
+
+    Samples ``delta = d ln V`` uniformly; the box edge scales by
+    ``exp(delta/2)`` (2-D) and every position with it, the energy is
+    recomputed in full (O(N^2) — volume moves are scheduled rarely), and
+    the NPT acceptance for ln-V sampling is
+
+        dlog pi = -beta (dE + P dV) + (N + 1) delta.
+
+    Validated in the ideal-gas limit (eps = 0): <V> = (N + 1)/(beta P)
+    exactly (``tests/test_npt.py``).
+    """
+
+    def apply(state: LJState, delta):
+        scale = jnp.exp(0.5 * delta)
+        box_new = state.box * scale
+        pos_new = state.pos * scale
+        new_state0 = dataclasses.replace(state, pos=pos_new, box=box_new)
+        e_new = total_energy(new_state0, params)
+        d_e = e_new - state.energy
+        v_old = state.box * state.box
+        d_v = v_old * (jnp.exp(delta) - 1.0)
+        n = state.pos.shape[0]
+        dlogp = (-state.beta * (d_e + pressure * d_v)
+                 + (n + 1) * delta)
+        return dataclasses.replace(new_state0, energy=e_new), dlogp
+
+    def invert(delta, new_state):
+        return -delta
+
+    def reward(delta, new_state):
+        return delta * delta
+
+    md = MoveDef(name="LJVolume", policy=UniformLogVolume(),
+                 apply=apply, invert=invert, reward=reward,
+                 kind="lj_volume", aux=params)
+    return Move(move=md,
+                params={"dlnv": jnp.asarray(dlnv, jnp.float32)},
+                weight=weight)
+
+
+def callback_density(view):
+    """Mean number density N / V over chains (NPT observable)."""
+    n = view.sys.pos.shape[-2]
+    v = view.sys.box * view.sys.box
+    return jnp.mean(n / v)
