@@ -51,16 +51,49 @@ def bench(n_chains, n_particles, mixed, n_sweeps):
     return moves / best
 
 
+def bench_poly(n_chains, n_particles, n_sweeps):
+    import montecarlo_tpu as mc
+    from montecarlo_tpu.core.simulation import _select_advance
+    from montecarlo_tpu.models import polydisperse as poly
+
+    params = poly.PolyParams()
+    chains = poly.init_chains(n_chains, n_particles, rho=0.9, beta=2.0,
+                              seed=42, params=params)
+    pool = (poly.displacement_move(0.1, weight=0.8, params=params),
+            poly.swap_move(weight=0.2, params=params))
+    sim = mc.Simulation(
+        poly.make_system(params), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=42,
+              sweepstep=n_particles)],
+        n_sweeps, path="/tmp/mctpu_poly_bench")
+    ds = sim.init_device_state()
+    masks = (jnp.ones(n_sweeps + 1, bool),)
+    adv = jax.jit(_select_advance(sim))
+    out = adv(ds, masks, n_sweeps)
+    float(out["sys"].energy.sum())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = adv(ds, masks, n_sweeps)
+        float(out["sys"].energy.sum())
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * n_sweeps * n_particles / best
+
+
 def main():
     n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     r256 = bench(n_chains, 256, mixed=False, n_sweeps=200)
     print(f"LJ N=256 local: {r256 / 1e6:.2f} M moves/s", file=sys.stderr)
     r1024 = bench(max(n_chains // 4, 8), 1024, mixed=True, n_sweeps=50)
     print(f"LJ N=1024 mixed: {r1024 / 1e6:.2f} M moves/s", file=sys.stderr)
+    rpoly = bench_poly(max(n_chains // 4, 8), 256, n_sweeps=100)
+    print(f"poly N=256 swap-MC: {rpoly / 1e6:.2f} M moves/s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "lj_mc_moves_per_sec_per_chip",
         "n256_local": round(r256),
         "n1024_mixed": round(r1024),
+        "poly_n256_mixed": round(rpoly),
         "unit": "moves/s",
     }))
 
