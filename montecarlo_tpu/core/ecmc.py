@@ -133,10 +133,16 @@ class EventChain(DeviceAlgorithm):
 
 
 def ecmc_callbacks(state_key: str = "ecmc"):
-    """(callback_ecmc_events,) — mean event count per chain."""
+    """(callback_ecmc_events,) — event count per chain.
+
+    The driver increments every chain's counter by the same
+    ``events_per_step``, so the per-chain counts are identical and the mean
+    equals the int32 minimum — returned as int32 so the observable stays
+    exact up to 2^31 events (a float32 mean silently loses integer precision
+    past ~1.7e7 events per chain)."""
 
     def events(view: SimView):
-        return jnp.mean(view.state[state_key]["n_events"].astype(jnp.float32))
+        return jnp.min(view.state[state_key]["n_events"])
 
     events.__name__ = f"callback_{state_key}_events"
     return (events,)

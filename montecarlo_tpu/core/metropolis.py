@@ -230,9 +230,17 @@ class Metropolis(DeviceAlgorithm):
     params_key = "params"
 
     def __init__(self, sim, pool: Sequence[Move] = (), sweepstep: int = 1,
-                 seed: int = 1, rng_impl: str = None, dependencies=(), **_):
+                 seed: int = 1, rng_impl: str = None, fused: str = "auto",
+                 dependencies=(), **_):
         if not pool:
             raise ValueError("Metropolis requires a non-empty move pool")
+        if fused not in ("auto", "off", "interpret"):
+            raise ValueError(
+                "fused must be 'auto' (Pallas fast path on TPU when the pool "
+                "is fusable), 'off' (always the generic path), or "
+                "'interpret' (force the fused path in Pallas interpret mode "
+                "— CPU testing)")
+        self.fused = fused
         self.pool = tuple(pool)
         self.movedefs = tuple(m.move for m in self.pool)
         self.weights = np.asarray([m.weight for m in self.pool], np.float32)
@@ -296,8 +304,11 @@ class Metropolis(DeviceAlgorithm):
         recognised move, or the BASELINE config-5 mixed LJ
         displacement + swap pool.  All kernels have ``shard_map`` wrappers,
         so a chain mesh is supported.  Auto-selected by the orchestrator on
-        TPU."""
-        if jax.default_backend() != "tpu":
+        TPU; ``fused='off'`` opts out, ``fused='interpret'`` forces the
+        fused path in Pallas interpret mode on any backend (CPU tests)."""
+        if self.fused == "off":
+            return False
+        if self.fused != "interpret" and jax.default_backend() != "tpu":
             return False
         kinds = tuple(m.move.kind for m in self.pool)
         if self.n_moves == 1:
@@ -329,6 +340,7 @@ class Metropolis(DeviceAlgorithm):
         kinds = tuple(m.move.kind for m in self.pool)
         seed = jnp.int32(self.seed)
         axis = self.mesh.axis_names[0] if self.mesh is not None else None
+        interp = self.fused == "interpret"
 
         if self.n_moves == 2:        # mixed displacement + swap pool
             is_lj = "lj_swap" in kinds
@@ -352,10 +364,11 @@ class Metropolis(DeviceAlgorithm):
                     sigma, w_disp, seed, micro_t0, total)
             if self.mesh is not None:
                 pos, ident_out, energy, acc, tot = shrd(
-                    self.mesh, axis, *args, params=aux_params)
+                    self.mesh, axis, *args, params=aux_params,
+                    interpret=interp)
             else:
                 pos, ident_out, energy, acc, tot = fused(
-                    *args, params=aux_params)
+                    *args, params=aux_params, interpret=interp)
             if is_lj:
                 new_sys = dataclasses.replace(
                     sys, pos=pos, species=ident_out, energy=energy)
@@ -381,11 +394,12 @@ class Metropolis(DeviceAlgorithm):
             if self.mesh is not None:
                 x, e, acc = sharded_gaussian_sweep(
                     self.mesh, axis, sys.x, sys.beta,
-                    sigma, seed, micro_t0, total, potential=potential)
+                    sigma, seed, micro_t0, total, potential=potential,
+                    interpret=interp)
             else:
                 x, e, acc = fused_gaussian_sweep(
                     sys.x, sys.beta, sigma, seed, micro_t0,
-                    total, potential=potential)
+                    total, potential=potential, interpret=interp)
             new_sys = dataclasses.replace(sys, x=x, e=e)
         elif kind == "lj_displacement_2d":
             from ..ops.lj_sweep import fused_lj_sweep, sharded_lj_sweep
@@ -394,9 +408,11 @@ class Metropolis(DeviceAlgorithm):
                     sigma, seed, micro_t0, total)
             if self.mesh is not None:
                 pos, energy, acc = sharded_lj_sweep(
-                    self.mesh, axis, *args, params=lj_params)
+                    self.mesh, axis, *args, params=lj_params,
+                    interpret=interp)
             else:
-                pos, energy, acc = fused_lj_sweep(*args, params=lj_params)
+                pos, energy, acc = fused_lj_sweep(*args, params=lj_params,
+                                                  interpret=interp)
             new_sys = dataclasses.replace(sys, pos=pos, energy=energy)
         else:  # pragma: no cover - guarded by supports_fused
             raise ValueError(f"no fused kernel for move kind {kind!r}")

@@ -132,6 +132,12 @@ class Simulation:
                 raise TypeError(f"invalid dependency spec for "
                                 f"{cls.__name__}: {d!r}")
             if isinstance(d, int):
+                if not 0 <= d < len(self.algorithms):
+                    raise ValueError(
+                        f"dependency index {d} for {cls.__name__} is out of "
+                        f"range: integer dependencies must point at one of "
+                        f"the {len(self.algorithms)} previously listed "
+                        f"algorithm(s)")
                 deps.append(self.algorithms[d])
             elif isinstance(d, type):
                 deps.extend(a for a in self.algorithms if isinstance(a, d))
@@ -270,28 +276,117 @@ def _make_advance(device_algos, always_on=None):
     return advance
 
 
+def _warn_rng_impl_discarded(alg):
+    if getattr(alg, "rng_impl", None):
+        import warnings
+        warnings.warn(
+            f"Metropolis(rng_impl={alg.rng_impl!r}) requested, but the fused "
+            "Pallas fast path was auto-selected and uses the TPU hardware "
+            "PRNG (a different stream family).  Pass fused='off' to keep the "
+            "requested counter-based streams on the generic path.",
+            UserWarning, stacklevel=3)
+
+
+def _make_hybrid_advance(met, sparse_algos):
+    """Fused fast path composed with sparse device algorithms (PGMC).
+
+    Between two consecutive firings of the sparse algorithms (estimator /
+    update events) the always-on Metropolis advances through its Pallas
+    segment kernel; at each event step the sparse algorithms run in list
+    order.  This keeps the BASELINE config-5 adaptive workload (LJ mixed
+    pool + PGMC) on the fast path — the reference composes the same three
+    peers through its in-order algorithm list (``src/simulation.jl:185-191``,
+    ``src/PolicyGuided/update.jl:50``).
+
+    Requires the Metropolis to be the FIRST device algorithm (within a step
+    the fused sweep through t fires before the sparse algorithms at t, which
+    is exactly the reference's list-order semantics).
+    """
+
+    def advance(ds, masks, n_steps):
+        sparse_masks = masks[1:]
+        comb = sparse_masks[0]
+        for m in sparse_masks[1:]:
+            comb = comb | m
+        idx = jnp.arange(comb.shape[0], dtype=jnp.int32)
+        t_end = ds["t"] + jnp.asarray(n_steps, jnp.int32)
+
+        def cond(ds):
+            return ds["t"] < t_end
+
+        def body(ds):
+            t = ds["t"]
+            big = jnp.iinfo(jnp.int32).max
+            cand = jnp.where(comb & (idx > t) & (idx <= t_end), idx, big)
+            t_next = jnp.minimum(jnp.min(cand), t_end)
+            ds = met.fused_advance(ds, t_next - t)
+            for alg, m in zip(sparse_algos, sparse_masks):
+                ds = jax.lax.cond(
+                    m[ds["t"]], lambda d, a=alg: a.step(d, d["t"]),
+                    lambda d: d, ds)
+            return ds
+
+        return jax.lax.while_loop(cond, body, ds)
+
+    return advance
+
+
 def _select_advance(sim: Simulation):
-    """Pick the device time-stepper: the fused Pallas segment kernel when the
-    run is a single always-on Metropolis with a fusable pool (single-device),
-    else the generic mask-scheduled loop."""
-    if (len(sim.device_algos) == 1
-            and getattr(sim.device_algos[0], "supports_fused", False)):
-        alg = sim.device_algos[0]
+    """Pick the device time-stepper.
+
+    1. Single always-on Metropolis with a fusable pool -> the Pallas segment
+       kernel directly.
+    2. Always-on fusable Metropolis listed first + sparse further device
+       algorithms (the PGMC estimator/update pattern) -> the hybrid stepper:
+       fused segments between events, generic steps at events.
+    3. Otherwise -> the generic mask-scheduled loop.
+    """
+    def covers_all(sched):
+        return (len(sched) == sim.steps and sched[0] == 1
+                and sched[-1] == sim.steps)
+
+    algos = sim.device_algos
+    if algos and getattr(algos[0], "supports_fused", False):
+        alg = algos[0]
         sched = sim.schedulers[sim.algorithms.index(alg)]
-        if len(sched) == sim.steps and sched[0] == 1 and sched[-1] == sim.steps:
-            def advance(ds, masks, n_steps):
-                return alg.fused_advance(ds, jnp.asarray(n_steps, jnp.int32))
-            return advance
+        if covers_all(sched):
+            if len(algos) == 1:
+                _warn_rng_impl_discarded(alg)
+
+                def advance(ds, masks, n_steps):
+                    return alg.fused_advance(
+                        ds, jnp.asarray(n_steps, jnp.int32))
+                return advance
+            # hybrid: worthwhile when the other device algorithms fire on a
+            # minority of steps (each event costs a kernel relaunch)
+            others = [sim.schedulers[sim.algorithms.index(a)]
+                      for a in algos[1:]]
+            n_events = len({int(t) for s in others for t in s})
+            if n_events * 2 <= sim.steps:
+                _warn_rng_impl_discarded(alg)
+                return _make_hybrid_advance(alg, algos[1:])
     always_on = tuple(
-        len(s) == sim.steps and s[0] == 1 and s[-1] == sim.steps
-        for s in (sim.schedulers[sim.algorithms.index(a)]
-                  for a in sim.device_algos))
-    return _make_advance(sim.device_algos, always_on)
+        covers_all(sim.schedulers[sim.algorithms.index(a)]) for a in algos)
+    return _make_advance(algos, always_on)
 
 
 def _execute(sim: Simulation):
     advance = _select_advance(sim)
-    advance_j = jax.jit(advance)
+
+    # cache revalidation at observation points (SystemDef.refresh): bounds
+    # incremental-energy float drift to one recorder period
+    if sim.system.refresh is not None:
+        _vrefresh = jax.vmap(sim.system.refresh)
+
+        def refresh(ds):
+            return {**ds, "sys": _vrefresh(ds["sys"])}
+    else:
+        refresh = lambda ds: ds
+
+    def advance_r(ds, masks, n_steps):
+        return refresh(advance(ds, masks, n_steps))
+
+    advance_j = jax.jit(advance_r)
 
     masks = []
     for a in sim.device_algos:
@@ -355,7 +450,7 @@ def _execute(sim: Simulation):
                 def body(i, carry):
                     ds, bufs = carry
                     dt = jnp.where(i == 0, first_dt, stride)
-                    ds = advance(ds, masks, dt)
+                    ds = refresh(advance(ds, masks, dt))
                     obs = observe(ds)
                     bufs = jax.tree_util.tree_map(
                         lambda b, o: jax.lax.dynamic_update_index_in_dim(

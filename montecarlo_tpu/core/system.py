@@ -48,6 +48,15 @@ class SystemDef:
         Optional ``line -> frame`` inverse of ``format_frame`` enabling the
         restart-file *loader* the reference lacks (SURVEY §5: backups are
         write-only upstream).
+    refresh:
+        Optional ``state -> state`` pure revalidation of derived caches for
+        ONE chain (e.g. recomputing a particle system's total energy from
+        positions).  Incremental float32 ``ΔE`` accumulation drifts over long
+        segments (~1e-3 relative per ~10^4 N-body moves); when set, the
+        orchestrator applies this at every observation point, bounding cache
+        drift to one recorder period.  The generalised TPU answer to the
+        reference's ``perform_action_cached!`` cache-consistency contract
+        (``src/metropolis.jl:119``).
     """
 
     name: str
@@ -55,6 +64,7 @@ class SystemDef:
     frame: Callable[[Any], Any] = lambda state: state
     format_frame: Callable[[int, Any], str] = _default_format_frame
     parse_frame: Optional[Callable[[str], Any]] = None
+    refresh: Optional[Callable[[Any], Any]] = None
 
 
 def stack_chains(states: list):

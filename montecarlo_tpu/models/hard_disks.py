@@ -237,8 +237,15 @@ def ecmc_model(chain_length: float,
             hittable = jnp.logical_not(mask_a) & (jnp.abs(w) < _DIAM)
             root = jnp.sqrt(jnp.maximum(_DIAM * _DIAM - w * w, 0.0))
             s_j = u - root
-            # a disk "behind" along the wrapped axis is hit a period later
-            s_j = jnp.where(s_j < 0.0, s_j + box, s_j)
+            # A disk "behind" along the wrapped axis is hit a period later —
+            # but an at-contact partner whose s_j rounds to -1ulp (e.g. the
+            # budget expired exactly at contact and the disk was re-picked
+            # with the same direction) is a REAL immediate collision: wrapping
+            # it would let the active disk tunnel through and leave a
+            # permanent overlap.  Treat s_j in [-eps, 0) as contact (0).
+            eps_c = jnp.float32(1e-5)
+            s_j = jnp.where(s_j < -eps_c, s_j + box,
+                            jnp.maximum(s_j, 0.0))
             s_j = jnp.where(hittable, s_j, jnp.inf)
             s_min = jnp.min(s_j)
             # lowest index attaining the min (robust against float ties)

@@ -136,8 +136,13 @@ def make_system(params: LJParams = LJParams()) -> SystemDef:
                          f"{float(fr['pos'][k, 1])!r}")
         return "\n".join(lines)
 
+    def refresh(state: LJState):
+        # revalidate the incremental-ΔE energy cache (float drift bound)
+        return dataclasses.replace(state, energy=total_energy(state, params))
+
     return SystemDef(name="LennardJones2D", log_target=log_target,
-                     frame=frame, format_frame=format_frame)
+                     frame=frame, format_frame=format_frame,
+                     refresh=refresh)
 
 
 def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,

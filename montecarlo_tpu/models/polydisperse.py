@@ -144,9 +144,13 @@ def make_system(params: PolyParams = PolyParams()) -> SystemDef:
                          f"{float(fr['pos'][k, 1])!r}")
         return "\n".join(lines)
 
+    def refresh(state: PolyState):
+        # revalidate the incremental-ΔE energy cache (float drift bound)
+        return dataclasses.replace(state, energy=total_energy(state, params))
+
     return SystemDef(name="PolydisperseSoftSpheres2D",
                      log_target=log_target, frame=frame,
-                     format_frame=format_frame)
+                     format_frame=format_frame, refresh=refresh)
 
 
 def sample_diameters(n: int, params: PolyParams = PolyParams(),
