@@ -9,10 +9,39 @@ not a stripped-down kernel.  A scalar readback forces device sync
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "history.json")
+
+
+def _compare_with_history(rate):
+    """Read the prior rounds' headline numbers, compute the ratio vs the most
+    recent one, and record this run (perf-regression bookkeeping; the CI gate
+    lives in tools/perf_gate.py)."""
+    try:
+        with open(_HISTORY) as f:
+            hist = json.load(f)
+    except (OSError, ValueError):
+        hist = {}
+    rounds = hist.setdefault("headline_steps_per_sec", {})
+    prev = rounds[max(rounds)] if rounds else None
+    tag = os.environ.get("BENCH_ROUND")
+    if tag is None:
+        n = max((int(k[1:]) for k in rounds if k[1:].isdigit()),
+                default=0)
+        tag = f"r{n + 1:02d}"
+    rounds[tag] = round(rate)
+    try:
+        with open(_HISTORY, "w") as f:
+            json.dump(hist, f, indent=2)
+    except OSError:
+        pass
+    return (rate / prev) if prev else None
 
 
 def bench_metropolis(n_chains=10_000, n_steps=500_000, repeats=3):
@@ -47,12 +76,16 @@ def bench_metropolis(n_chains=10_000, n_steps=500_000, repeats=3):
 def main():
     rate = bench_metropolis()
     baseline = 100e6  # BASELINE.json: >100M Metropolis steps/s/chip
-    print(json.dumps({
+    vs_prev = _compare_with_history(rate)
+    out = {
         "metric": "metropolis_steps_per_sec_per_chip_at_1e4_chains",
         "value": round(rate),
         "unit": "steps/s",
         "vs_baseline": round(rate / baseline, 3),
-    }))
+    }
+    if vs_prev is not None:
+        out["vs_prev_round"] = round(vs_prev, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -234,12 +234,13 @@ class Metropolis(DeviceAlgorithm):
                  dependencies=(), **_):
         if not pool:
             raise ValueError("Metropolis requires a non-empty move pool")
-        if fused not in ("auto", "off", "interpret"):
+        if fused not in ("auto", "off", "interpret", "cell"):
             raise ValueError(
                 "fused must be 'auto' (Pallas fast path on TPU when the pool "
-                "is fusable), 'off' (always the generic path), or "
-                "'interpret' (force the fused path in Pallas interpret mode "
-                "— CPU testing)")
+                "is fusable), 'off' (always the generic path), 'interpret' "
+                "(force the fused path in Pallas interpret mode — CPU "
+                "testing), or 'cell' (force the checkerboard cell-MC path "
+                "for large-N particle systems)")
         self.fused = fused
         self.pool = tuple(pool)
         self.movedefs = tuple(m.move for m in self.pool)
@@ -258,6 +259,43 @@ class Metropolis(DeviceAlgorithm):
         self.mesh = sim.mesh
         self.groups, self.group_of, self.within_of = build_move_groups(
             self.pool)
+        self._plan_cell_mc(sim)
+
+    def _plan_cell_mc(self, sim):
+        """Plan the checkerboard cell-MC decomposition (``ops/cell_mc.py``)
+        when the pool is a single particle-displacement move — the large-N
+        fast path (per-move cost O(9C) instead of O(N), ~N/8 moves in
+        parallel per substep)."""
+        self._cell_plan = None
+        self._cell_model = None
+        kinds = tuple(m.move.kind for m in self.pool)
+        if kinds not in (("lj_displacement_2d",), ("poly_displacement_2d",)):
+            return
+        try:
+            state0 = sim.chains0
+            box0 = float(np.asarray(state0.box).ravel()[0])
+            n_particles = int(state0.pos.shape[-2])
+            if kinds[0] == "lj_displacement_2d":
+                from ..models.lennard_jones import cell_closures
+            else:
+                from ..models.polydisperse import cell_closures
+            pe, rc2, rcut_max = cell_closures(self.pool[0].move.aux)
+            from ..ops.cell_mc import plan_grid
+            self._cell_plan = plan_grid(n_particles, box0, rcut_max)
+            self._cell_model = (pe, rc2)
+            self._cell_n = n_particles
+        except (ValueError, AttributeError):
+            self._cell_plan = None  # box too small / no geometry: row path
+
+    @property
+    def _use_cell(self) -> bool:
+        if self._cell_plan is None:
+            return False
+        if self.fused == "cell":
+            return True
+        # auto: the row kernel's O(N) per-move cost overtakes the cell
+        # path's O(9C) around N ~ 2k at liquid densities
+        return self.fused == "auto" and self._cell_n >= 2048
 
     # -- device-state slice ------------------------------------------------
     def init_state(self, sim):
@@ -266,7 +304,11 @@ class Metropolis(DeviceAlgorithm):
         chain_ids = jnp.arange(self.n_chains, dtype=jnp.uint32)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(base, chain_ids)
         counters = jnp.zeros((self.n_chains, self.n_moves, 2), jnp.int32)
-        return {"keys": keys, "counters": counters}
+        slc = {"keys": keys, "counters": counters}
+        if self._cell_plan is not None:
+            # latched flag: the static cell capacity was exceeded at a bind
+            slc["cell_overflow"] = jnp.zeros((), bool)
+        return slc
 
     def init_params(self):
         """Initial replicated move parameters (tuple, one pytree per move)."""
@@ -308,6 +350,8 @@ class Metropolis(DeviceAlgorithm):
         fused path in Pallas interpret mode on any backend (CPU tests)."""
         if self.fused == "off":
             return False
+        if self.fused == "cell":
+            return self._cell_plan is not None
         if self.fused != "interpret" and jax.default_backend() != "tpu":
             return False
         kinds = tuple(m.move.kind for m in self.pool)
@@ -341,6 +385,30 @@ class Metropolis(DeviceAlgorithm):
         seed = jnp.int32(self.seed)
         axis = self.mesh.axis_names[0] if self.mesh is not None else None
         interp = self.fused == "interpret"
+
+        if self._use_cell:           # checkerboard cell MC (large N)
+            from ..ops.cell_mc import cell_mc_segment
+            plan = self._cell_plan
+            pe, rc2 = self._cell_model
+            sigma = jax.tree_util.tree_leaves(params[0])[0]
+            per_substep = (plan.nc * plan.nc) // 4
+            substeps = (total + per_substep - 1) // per_substep
+            base = jax.random.fold_in(jax.random.key(self.seed),
+                                      micro_t0.astype(jnp.uint32))
+            is_lj = kinds[0] == "lj_displacement_2d"
+            attr = (sys.species.astype(jnp.float32) if is_lj else sys.diam)
+            pos, _, energy, att, acc, ovf = cell_mc_segment(
+                plan, pe, rc2, sys.pos, attr, sys.beta, sys.energy,
+                sigma, base, substeps)
+            new_sys = dataclasses.replace(sys, pos=pos, energy=energy)
+            counters = slc["counters"] + jnp.stack(
+                [acc, att], axis=-1)[:, None, :]
+            out_slc = {**slc, "counters": counters}
+            if "cell_overflow" in slc:
+                out_slc["cell_overflow"] = slc["cell_overflow"] | jnp.any(ovf)
+            return {**dstate, "sys": new_sys,
+                    "t": (t0 + n_steps).astype(jnp.int32),
+                    self.state_key: out_slc}
 
         if self.n_moves == 2:        # mixed displacement + swap pool
             is_lj = "lj_swap" in kinds

@@ -550,7 +550,18 @@ def _write_summary(sim: Simulation):
         f.write(f"\tVerbose: {sim.verbose}\n")
         f.write(f"\tStarted on {datetime.datetime.now()}\n\n")
         f.write("System:\n")
-        f.write(f"\t{sim.system.name}\n\n")
+        f.write(f"\t{sim.system.name}\n")
+        # per-type state dump (ref ``write_system`` overloads,
+        # ``src/simulation.jl:119-122``): one line per state field with the
+        # per-chain shape and dtype
+        leaves = jax.tree_util.tree_leaves_with_path(sim.chains0)
+        for path, leaf in leaves:
+            label = jax.tree_util.keystr(path).lstrip(".")
+            shape = tuple(np.shape(leaf))[1:]  # drop the chain axis
+            dtype = np.asarray(leaf).dtype if not hasattr(leaf, "dtype") \
+                else leaf.dtype
+            f.write(f"\t\t{label}: shape {shape or '()'} dtype {dtype}\n")
+        f.write("\n")
         f.write("Algorithms:\n")
         for alg, sched in zip(sim.algorithms, sim.schedulers):
             alg.write_summary(f, sched)

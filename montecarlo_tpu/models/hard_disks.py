@@ -47,6 +47,8 @@ __all__ = [
     "min_pair_distance",
     "overlap_free",
     "callback_min_distance",
+    "psi6",
+    "callback_psi6",
 ]
 
 _DIAM = 1.0          # disk diameter (unit of length)
@@ -123,6 +125,33 @@ def overlap_free(state: HardDiskState, tol: float = 1e-5):
 
 def callback_min_distance(view):
     return jnp.mean(jax.vmap(min_pair_distance)(view.sys))
+
+
+def psi6(state: HardDiskState, r_nbr: float = 1.4):
+    """Global bond-orientational order |<psi6>| of ONE chain.
+
+    ``psi6_j = mean_k exp(6 i theta_jk)`` over neighbours within ``r_nbr``;
+    returns ``|mean_j psi6_j|`` — the standard slow observable of the 2-D
+    hard-disk melting problem (Bernard & Krauth 2011), used for the
+    ECMC-vs-Metropolis autocorrelation benchmark (``tools/bench_ecmc.py``).
+    """
+    d = state.pos[:, None, :] - state.pos[None, :, :]
+    d = d - state.box * jnp.round(d / state.box)
+    r2 = jnp.sum(d * d, axis=-1)
+    n = state.pos.shape[0]
+    nbr = (r2 < r_nbr * r_nbr) & ~jnp.eye(n, dtype=bool)
+    theta = jnp.arctan2(d[..., 1], d[..., 0])
+    c = jnp.where(nbr, jnp.cos(6.0 * theta), 0.0)
+    s = jnp.where(nbr, jnp.sin(6.0 * theta), 0.0)
+    cnt = jnp.maximum(jnp.sum(nbr, axis=1), 1)
+    pj_c = jnp.sum(c, axis=1) / cnt
+    pj_s = jnp.sum(s, axis=1) / cnt
+    return jnp.sqrt(jnp.mean(pj_c) ** 2 + jnp.mean(pj_s) ** 2)
+
+
+def callback_psi6(view):
+    """Chain-mean |psi6| (slow orientational observable)."""
+    return jnp.mean(jax.vmap(psi6)(view.sys))
 
 
 # -- Metropolis displacement move ------------------------------------------

@@ -16,6 +16,8 @@ from (2, 2) tables — Kob-Andersen-style binary mixtures for swap moves.
 from __future__ import annotations
 
 import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +34,9 @@ __all__ = [
     "lj_swap_move",
     "lj_volume_move",
     "total_energy",
+    "virial_pressure",
     "callback_energy_per_particle",
+    "callback_pressure",
     "callback_density",
 ]
 
@@ -107,16 +111,32 @@ def _row_energy(state: LJState, x, s_i, mask, params: LJParams):
     return jnp.sum(jnp.where(mask, 0.0, u))
 
 
-def total_energy(state: LJState, params: LJParams):
-    """Full O(N^2) energy — used for initialisation and cache validation."""
-    d = state.pos[:, None, :] - state.pos[None, :, :]
-    d = d - state.box * jnp.round(d / state.box)
-    r2 = jnp.sum(d * d, axis=-1)
-    eps, sig = params.coeffs(state.species[:, None], state.species[None, :])
-    u = _pair_energy(r2, eps, sig, params.rcut)
+def total_energy(state: LJState, params: LJParams, row_batch: int = None):
+    """Full O(N^2) energy — used for initialisation and cache validation.
+
+    ``row_batch`` bounds peak memory to ``row_batch x N`` pair terms (the
+    dense path materialises the full ``(N, N, 2)`` displacement tensor,
+    which vmapped over many chains can exceed HBM); results are identical.
+    """
     n = state.pos.shape[0]
-    mask = ~jnp.eye(n, dtype=bool)
-    return 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
+    if row_batch is None or row_batch >= n:
+        d = state.pos[:, None, :] - state.pos[None, :, :]
+        d = d - state.box * jnp.round(d / state.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        eps, sig = params.coeffs(state.species[:, None],
+                                 state.species[None, :])
+        u = _pair_energy(r2, eps, sig, params.rcut)
+        mask = ~jnp.eye(n, dtype=bool)
+        return 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
+
+    idx = jnp.arange(n)
+
+    def row_e(i):
+        x_i = state.pos[i]
+        s_i = state.species[i]
+        return _row_energy(state, x_i, s_i, idx == i, params)
+
+    return 0.5 * jnp.sum(jax.lax.map(row_e, idx, batch_size=row_batch))
 
 
 def make_system(params: LJParams = LJParams()) -> SystemDef:
@@ -137,8 +157,12 @@ def make_system(params: LJParams = LJParams()) -> SystemDef:
         return "\n".join(lines)
 
     def refresh(state: LJState):
-        # revalidate the incremental-ΔE energy cache (float drift bound)
-        return dataclasses.replace(state, energy=total_energy(state, params))
+        # revalidate the incremental-ΔE energy cache (float drift bound);
+        # row-batched so the engine's vmap over chains stays within HBM
+        n = state.pos.shape[0]
+        rb = None if n <= 256 else 64
+        return dataclasses.replace(
+            state, energy=total_energy(state, params, row_batch=rb))
 
     return SystemDef(name="LennardJones2D", log_target=log_target,
                      frame=frame, format_frame=format_frame,
@@ -174,7 +198,14 @@ def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
         energy=jnp.zeros((n_chains,), jnp.float32),
         box=jnp.full((n_chains,), box, jnp.float32),
     )
-    energy = jax.vmap(lambda s: total_energy(s, params))(state)
+    # chain-batched map: a full vmap would materialise an (M, N, N, 2)
+    # displacement tensor (8.6 GB at M = N = 1024) and OOM the chip; the
+    # batch shrinks with N^2 to hold peak memory ~2 GB
+    batch = max(1, min(n_chains, int(5e8 // (n_particles ** 2))))
+    rb = None if n_particles <= 4096 else 512
+    energy = jax.lax.map(
+        lambda s: total_energy(s, params, row_batch=rb), state,
+        batch_size=batch)
     return dataclasses.replace(state, energy=energy)
 
 
@@ -317,6 +348,75 @@ def lj_swap_move(weight: float = 1.0,
 def callback_energy_per_particle(view):
     n = view.sys.pos.shape[-2]
     return jnp.mean(view.sys.energy) / n
+
+
+@functools.lru_cache(maxsize=None)
+def cell_closures(params: LJParams):
+    """Static (pair_energy, rcut2_of, rcut_max) closures for the
+    checkerboard cell-MC path (``ops/cell_mc.py``).  Attributes are the
+    species labels as float32; the pair energy is the same
+    truncated-and-shifted KA form as :func:`_pair_energy` (cutoff gating is
+    the caller's job via ``rcut2_of``)."""
+
+    def _tables(s_i, s_j):
+        same = s_i == s_j
+        is_a = s_i < 0.5
+        eps = jnp.where(same,
+                        jnp.where(is_a, params.eps[0][0], params.eps[1][1]),
+                        params.eps[0][1])
+        sig = jnp.where(same,
+                        jnp.where(is_a, params.sig[0][0], params.sig[1][1]),
+                        params.sig[0][1])
+        return eps, sig
+
+    def pair_energy(r2, s_i, s_j):
+        eps, sig = _tables(s_i, s_j)
+        sig2 = sig * sig
+        inv = sig2 / jnp.maximum(r2, 1e-12)
+        i6 = inv * inv * inv
+        ic = 1.0 / (params.rcut * params.rcut)
+        ic6 = ic * ic * ic
+        return 4.0 * eps * ((i6 * i6 - i6) - (ic6 * ic6 - ic6))
+
+    def rcut2_of(s_i, s_j):
+        _, sig = _tables(s_i, s_j)
+        return (params.rcut * sig) ** 2
+
+    rcut_max = params.rcut * float(np.max(np.asarray(params.sig)))
+    return pair_energy, rcut2_of, rcut_max
+
+
+def virial_pressure(state: LJState, params: LJParams = LJParams()):
+    """Instantaneous 2-D virial pressure of ONE chain.
+
+    ``P = rho / beta + W / (2 V)`` with the pair virial
+    ``w(r) = -r du/dr = 24 eps [2 (sig/r)^12 - (sig/r)^6]`` summed over pairs
+    inside the cutoff.  Exact for the truncated-and-shifted potential the
+    sampler targets: the shift keeps u continuous at rc, so there is no
+    impulsive cutoff term, and no tail correction applies (the ensemble IS
+    the truncated model).  This is the NVT side of the NPT/NVT
+    equation-of-state cross-check (``tests/test_npt.py``).
+    """
+    d = state.pos[:, None, :] - state.pos[None, :, :]
+    d = d - state.box * jnp.round(d / state.box)
+    r2 = jnp.sum(d * d, axis=-1)
+    eps, sig = params.coeffs(state.species[:, None], state.species[None, :])
+    sig2 = sig * sig
+    rc2 = (params.rcut * sig) ** 2
+    inv = sig2 / jnp.maximum(r2, 1e-12)
+    i6 = inv * inv * inv
+    w = 24.0 * eps * (2.0 * i6 * i6 - i6)
+    n = state.pos.shape[0]
+    mask = (~jnp.eye(n, dtype=bool)) & (r2 < rc2)
+    w_sum = 0.5 * jnp.sum(jnp.where(mask, w, 0.0))
+    v = state.box * state.box
+    rho = n / v
+    return rho / state.beta + w_sum / (2.0 * v)
+
+
+def callback_pressure(view, params: LJParams = LJParams()):
+    """Mean instantaneous virial pressure over chains (NVT observable)."""
+    return jnp.mean(jax.vmap(lambda s: virial_pressure(s, params))(view.sys))
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ observables must agree — which is exactly the statistical gate in
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +44,10 @@ __all__ = [
     "sample_diameters",
     "displacement_move",
     "swap_move",
+    "volume_move",
     "total_energy",
     "callback_energy_per_particle",
+    "callback_density",
 ]
 
 
@@ -115,16 +118,28 @@ def _row_energy(state: PolyState, x, d_i, mask, params: PolyParams,
     return jnp.sum(jnp.where(mask, 0.0, u))
 
 
-def total_energy(state: PolyState, params: PolyParams = PolyParams()):
+def total_energy(state: PolyState, params: PolyParams = PolyParams(),
+                 row_batch: int = None):
+    """Full O(N^2) energy; ``row_batch`` bounds peak memory to
+    ``row_batch x N`` pair terms (see ``lennard_jones.total_energy``)."""
     coeffs = params.coeffs()
-    d = state.pos[:, None, :] - state.pos[None, :, :]
-    d = d - state.box * jnp.round(d / state.box)
-    r2 = jnp.sum(d * d, axis=-1)
-    sig = _sigma_ij(state.diam[:, None], state.diam[None, :], params.eps)
-    u = _pair_energy(r2, sig, params, *coeffs)
     n = state.pos.shape[0]
-    mask = ~jnp.eye(n, dtype=bool)
-    return 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
+    if row_batch is None or row_batch >= n:
+        d = state.pos[:, None, :] - state.pos[None, :, :]
+        d = d - state.box * jnp.round(d / state.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        sig = _sigma_ij(state.diam[:, None], state.diam[None, :], params.eps)
+        u = _pair_energy(r2, sig, params, *coeffs)
+        mask = ~jnp.eye(n, dtype=bool)
+        return 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
+
+    idx = jnp.arange(n)
+
+    def row_e(i):
+        return _row_energy(state, state.pos[i], state.diam[i], idx == i,
+                           params, coeffs)
+
+    return 0.5 * jnp.sum(jax.lax.map(row_e, idx, batch_size=row_batch))
 
 
 def make_system(params: PolyParams = PolyParams()) -> SystemDef:
@@ -145,8 +160,12 @@ def make_system(params: PolyParams = PolyParams()) -> SystemDef:
         return "\n".join(lines)
 
     def refresh(state: PolyState):
-        # revalidate the incremental-ΔE energy cache (float drift bound)
-        return dataclasses.replace(state, energy=total_energy(state, params))
+        # revalidate the incremental-ΔE energy cache (float drift bound);
+        # row-batched so the engine's vmap over chains stays within HBM
+        n = state.pos.shape[0]
+        rb = None if n <= 256 else 64
+        return dataclasses.replace(
+            state, energy=total_energy(state, params, row_batch=rb))
 
     return SystemDef(name="PolydisperseSoftSpheres2D",
                      log_target=log_target, frame=frame,
@@ -189,7 +208,12 @@ def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
         energy=jnp.zeros((n_chains,), jnp.float32),
         box=jnp.full((n_chains,), box, jnp.float32),
     )
-    energy = jax.vmap(lambda s: total_energy(s, params))(state)
+    # chain-batched map (a full vmap OOMs at large M x N — see lennard_jones)
+    batch = max(1, min(n_chains, int(5e8 // (n_particles ** 2))))
+    rb = None if n_particles <= 4096 else 512
+    energy = jax.lax.map(
+        lambda s: total_energy(s, params, row_batch=rb), state,
+        batch_size=batch)
     return dataclasses.replace(state, energy=energy)
 
 
@@ -304,6 +328,72 @@ def swap_move(weight: float = 1.0,
                  apply=apply, invert=invert, reward=reward,
                  kind="poly_swap", aux=params)
     return Move(move=md, params={"dummy": jnp.zeros(())}, weight=weight)
+
+
+def volume_move(dlnv: float, pressure: float, weight: float = 1.0,
+                params: PolyParams = PolyParams()) -> Move:
+    """Isotropic ln-V volume move — NPT swap-MC, the literature protocol for
+    polydisperse glass formers (constant-pressure variant of
+    Ninarello-Berthier-Coslovich).  Same acceptance as the LJ volume move
+    (``lennard_jones.lj_volume_move``): the box edge scales by
+    ``exp(delta/2)`` (2-D) with the full energy recomputed, and
+
+        dlog pi = -beta (dE + P dV) + (N + 1) delta.
+    """
+    from .lennard_jones import UniformLogVolume
+
+    def apply(state: PolyState, delta):
+        scale = jnp.exp(0.5 * delta)
+        box_new = state.box * scale
+        pos_new = state.pos * scale
+        new_state0 = dataclasses.replace(state, pos=pos_new, box=box_new)
+        e_new = total_energy(new_state0, params)
+        d_e = e_new - state.energy
+        v_old = state.box * state.box
+        d_v = v_old * (jnp.exp(delta) - 1.0)
+        n = state.pos.shape[0]
+        dlogp = (-state.beta * (d_e + pressure * d_v) + (n + 1) * delta)
+        return dataclasses.replace(new_state0, energy=e_new), dlogp
+
+    def invert(delta, new_state):
+        return -delta
+
+    def reward(delta, new_state):
+        return delta * delta
+
+    md = MoveDef(name="PolyVolume", policy=UniformLogVolume(),
+                 apply=apply, invert=invert, reward=reward,
+                 kind="poly_volume", aux=params)
+    return Move(move=md,
+                params={"dlnv": jnp.asarray(dlnv, jnp.float32)},
+                weight=weight)
+
+
+def callback_density(view):
+    """Mean number density N / V over chains (NPT observable)."""
+    n = view.sys.pos.shape[-2]
+    v = view.sys.box * view.sys.box
+    return jnp.mean(n / v)
+
+
+@functools.lru_cache(maxsize=None)
+def cell_closures(params: PolyParams):
+    """Static (pair_energy, rcut2_of, rcut_max) closures for the
+    checkerboard cell-MC path (``ops/cell_mc.py``); attributes are the
+    particle diameters."""
+    c0, c2, c4 = params.coeffs()
+
+    def pair_energy(r2, d_i, d_j):
+        sig = _sigma_ij(d_i, d_j, params.eps)
+        return _pair_energy(r2, sig, params, c0, c2, c4)
+
+    def rcut2_of(d_i, d_j):
+        sig = _sigma_ij(d_i, d_j, params.eps)
+        return (params.xc * sig) ** 2
+
+    # sigma_ij <= max(d_i, d_j) (the non-additive term only shrinks it)
+    rcut_max = params.xc * params.d_max
+    return pair_energy, rcut2_of, rcut_max
 
 
 def callback_energy_per_particle(view):

@@ -1,0 +1,327 @@
+"""Checkerboard cell-list Monte Carlo for large-N 2-D particle systems.
+
+The O(N)-per-move row kernels (``lj_sweep.py``) cap particle MC at N ~ 10^3:
+every attempt touches all N rows and attempts are sequential.  This module
+implements the massively-parallel alternative (the cell decomposition of
+Anderson, Lechner & Glotzer's checkerboard GPU MC, re-derived TPU-first):
+
+- The box is divided into an ``nc x nc`` grid of cells (``nc`` even, >= 4)
+  of width ``w >= rcut + 2 * d_cap``.
+- Cells are 4-colored in a 2x2 checkerboard.  In one *substep*, every cell
+  of one color proposes a move for ONE uniformly-picked occupant.  Two
+  active cells are never adjacent, and every particle stays within
+  ``d_cap`` of its *storage cell* (moves that would leave the cell's
+  ``+/- d_cap`` halo are rejected — a symmetric proposal-set restriction
+  that preserves detailed balance), so simultaneous moves are provably
+  non-interacting and each substep is a product of independent MH updates:
+  pi-invariant by the standard checkerboard argument.
+- A particle's interactions always lie inside its 3x3 cell neighbourhood:
+  any partner within ``rcut`` of a position in cell +/- d_cap sits within
+  boundary distance ``rcut + 2 d_cap <= w`` of the cell, i.e. in an
+  adjacent cell.  Neighbour access is 9 static torus rolls of the
+  ``(nc, nc, C)`` cell arrays — no gathers, no sorts inside the hot loop.
+- Between segments, particles are re-binned (one argsort per chain),
+  restoring full ergodicity; within a segment the anchor constraint makes
+  re-binning unnecessary by construction.
+
+Per substep ~``nc^2/4`` moves execute in parallel per chain; the tensors are
+wide enough (``(B, nc, nc, C)``) that plain XLA amortises per-op overhead —
+no Pallas needed, and chain-axis sharding falls out of vmap + sharding
+propagation.  Throughput per move is O(9C) instead of O(N): independent of
+N at fixed density.
+
+Capability target: ParticlesMC-scale systems (N = 10^4+) the reference
+organisation's ecosystem runs (``/root/reference/README.md:33``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["CellGrid", "plan_grid", "bind_cells", "unbind_cells",
+           "cell_mc_segment"]
+
+_NEIGH = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+class CellGrid:
+    """Static cell-decomposition plan (python-level; hashable)."""
+
+    def __init__(self, nc: int, cap: int, box: float, d_cap: float):
+        self.nc = int(nc)
+        self.cap = int(cap)
+        self.box = float(box)
+        self.w = self.box / self.nc
+        self.d_cap = float(d_cap)
+
+    def __repr__(self):
+        return (f"CellGrid(nc={self.nc}, cap={self.cap}, box={self.box}, "
+                f"d_cap={self.d_cap})")
+
+    def __hash__(self):
+        return hash((self.nc, self.cap, self.box, self.d_cap))
+
+    def __eq__(self, other):
+        return (isinstance(other, CellGrid)
+                and (self.nc, self.cap, self.box, self.d_cap)
+                == (other.nc, other.cap, other.box, other.d_cap))
+
+
+def plan_grid(n_particles: int, box: float, rcut: float,
+              d_cap: float = 0.45, cap_slack: float = 2.0) -> CellGrid:
+    """Choose the largest even cell grid with ``w >= rcut + 2 d_cap``.
+
+    ``cap`` (slots per cell) is the mean occupancy times ``cap_slack``,
+    rounded up to a multiple of 8 — binding asserts it is never exceeded.
+    Returns None-equivalent raise if the box only fits a grid smaller than
+    4x4 (cell MC needs >= 4 cells per axis so the 9 torus rolls are
+    distinct cells).
+    """
+    nc = int(box / (rcut + 2.0 * d_cap))
+    nc -= nc % 2
+    if nc < 4:
+        raise ValueError(
+            f"box {box:.3g} too small for cell MC with rcut {rcut} and "
+            f"d_cap {d_cap}: need >= 4 cells per axis")
+    mean_occ = n_particles / (nc * nc)
+    cap = max(8, int(math.ceil(mean_occ * cap_slack / 8.0)) * 8)
+    return CellGrid(nc=nc, cap=cap, box=box, d_cap=d_cap)
+
+
+# ---------------------------------------------------------------------------
+# Binding: flat (N, ...) particle arrays <-> (nc, nc, C) cell arrays
+# ---------------------------------------------------------------------------
+
+def bind_cells(grid: CellGrid, pos, attr):
+    """Bin ONE chain's particles into cell slots.
+
+    Args:
+      pos: (N, 2) positions in [0, box).
+      attr: (N,) per-particle attribute (species label / diameter).
+
+    Returns dict of (nc, nc, C) arrays: ``x``, ``y``, ``attr``, ``occ``
+    (bool occupancy) and ``idx`` (original particle index, N where empty),
+    plus ``overflow`` — a scalar bool flagging any cell fuller than C
+    (checked by the caller; the segment is invalid if set).
+    """
+    n = pos.shape[0]
+    nc, cap = grid.nc, grid.cap
+    inv_w = nc / grid.box
+    cx = jnp.clip((pos[:, 0] * inv_w).astype(jnp.int32), 0, nc - 1)
+    cy = jnp.clip((pos[:, 1] * inv_w).astype(jnp.int32), 0, nc - 1)
+    cid = cy * nc + cx
+    order = jnp.argsort(cid, stable=True)
+    cid_s = cid[order]
+    r = jnp.arange(n)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, r, 0))
+    rank = r - seg_start
+    overflow = jnp.any(rank >= cap)
+    slot = cid_s * cap + jnp.minimum(rank, cap - 1)
+
+    def scatter(src, fill, dtype=None):
+        out = jnp.full((nc * nc * cap,), fill,
+                       src.dtype if dtype is None else dtype)
+        return out.at[slot].set(src[order]).reshape(nc, nc, cap)
+
+    return {
+        "x": scatter(pos[:, 0], 0.0),
+        "y": scatter(pos[:, 1], 0.0),
+        "attr": scatter(attr.astype(jnp.float32), 0.0),
+        "occ": scatter(jnp.ones((n,), bool), False),
+        "idx": scatter(jnp.arange(n, dtype=jnp.int32), n),
+        "overflow": overflow,
+    }
+
+
+def unbind_cells(cells, n: int):
+    """Inverse of :func:`bind_cells`: flat (N, 2) positions + (N,) attr in
+    the ORIGINAL particle order (via the stored ``idx`` map)."""
+    idx = cells["idx"].reshape(-1)
+    x = jnp.zeros((n,), jnp.float32).at[idx].set(
+        cells["x"].reshape(-1), mode="drop")
+    y = jnp.zeros((n,), jnp.float32).at[idx].set(
+        cells["y"].reshape(-1), mode="drop")
+    attr = jnp.zeros((n,), jnp.float32).at[idx].set(
+        cells["attr"].reshape(-1), mode="drop")
+    return jnp.stack([x, y], axis=-1), attr
+
+
+def _roll2(a, dy, dx):
+    """Torus roll of an (nc, nc, C) cell array: entry [cy, cx] of the result
+    holds cell [cy+dy, cx+dx] (periodic)."""
+    return jnp.roll(a, shift=(-dy, -dx), axis=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# The substep
+# ---------------------------------------------------------------------------
+
+def _make_substep(grid: CellGrid, pair_energy, rcut2_of):
+    """Build the one-color multi-move MH substep for ONE chain.
+
+    ``pair_energy(r2, a_i, a_j) -> u`` and ``rcut2_of(a_i, a_j) -> rc^2``
+    define the model (attributes are the species labels / diameters).
+
+    The substep is built per COLOR (a static (cy0, cx0) parity pair): only
+    the active color's ``(nc/2, nc/2, C)`` sub-grid computes proposals and
+    energies — the driver dispatches the 4 variants through a
+    ``lax.switch`` on a substep-shared color draw, so each substep pays for
+    the active quarter only (not a masked full-grid pass).
+    """
+    nc, cap, w, d_cap, box = (grid.nc, grid.cap, grid.w, grid.d_cap,
+                              grid.box)
+    h = nc // 2
+
+    def make_color(cy0, cx0):
+        # static geometry of the active sub-grid
+        act_x0 = ((jnp.arange(h, dtype=jnp.float32) * 2 + cx0)
+                  * w)[None, :, None]
+        act_y0 = ((jnp.arange(h, dtype=jnp.float32) * 2 + cy0)
+                  * w)[:, None, None]
+
+        def color_substep(cells, e_tot, key, sigma, beta):
+            kpick, kprop, kacc = jax.random.split(key, 3)
+            sl = (slice(cy0, None, 2), slice(cx0, None, 2))
+            occ_a = cells["occ"][sl]              # (h, h, C)
+            x_a = cells["x"][sl]
+            y_a = cells["y"][sl]
+            attr_a = cells["attr"][sl]
+
+            # uniform occupant pick per active cell (Gumbel-max over
+            # occupied slots; ties broken toward the lowest slot)
+            u = jax.random.uniform(kpick, (h, h, cap))
+            score = jnp.where(occ_a, u, -1.0)
+            sel = score == jnp.max(score, axis=-1, keepdims=True)
+            first = jnp.cumsum(sel.astype(jnp.int32), axis=-1) == 1
+            sel = sel & first & occ_a
+            has = jnp.any(occ_a, axis=-1)
+
+            pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=-1,
+                                     keepdims=True)
+            xi, yi, ai = pick(x_a), pick(y_a), pick(attr_a)
+
+            delta = sigma * jax.random.normal(kprop, (h, h, 2))
+            xn = xi + delta[..., 0:1]
+            yn = yi + delta[..., 1:2]
+            # anchor constraint: the new position must stay inside the
+            # storage cell's +/- d_cap halo (keeps simultaneous moves
+            # independent and the 3x3 neighbourhood sufficient for the
+            # entire segment)
+            inbox = ((xn[..., 0] >= act_x0[..., 0] - d_cap)
+                     & (xn[..., 0] < act_x0[..., 0] + w + d_cap)
+                     & (yn[..., 0] >= act_y0[..., 0] - d_cap)
+                     & (yn[..., 0] < act_y0[..., 0] + w + d_cap))
+
+            # one (h, h, 9C) stacked neighbourhood, built once and shared by
+            # the old/new energy passes — 9x fewer op dispatches than a
+            # per-offset loop (the XLA path is dispatch-bound, not
+            # flop-bound, at these tile sizes)
+            stack = lambda a: jnp.concatenate(
+                [_roll2(a, dy, dx)[sl] for (dy, dx) in _NEIGH], axis=-1)
+            xs9 = stack(cells["x"])
+            ys9 = stack(cells["y"])
+            as9 = stack(cells["attr"])
+            occ9 = stack(cells["occ"])
+            # exclude the mover's own slot (it sits in the centre block)
+            centre = _NEIGH.index((0, 0))
+            excl9 = jnp.zeros_like(occ9).at[
+                ..., centre * cap:(centre + 1) * cap].set(sel)
+            ok9 = occ9 & jnp.logical_not(excl9)
+            rc29 = rcut2_of(ai, as9)
+
+            def energy_at(px, py):
+                ddx = xs9 - px
+                ddy = ys9 - py
+                ddx = ddx - box * jnp.round(ddx / box)
+                ddy = ddy - box * jnp.round(ddy / box)
+                r2 = ddx * ddx + ddy * ddy
+                u_p = pair_energy(r2, ai, as9)
+                return jnp.sum(
+                    jnp.where(ok9 & (r2 < rc29), u_p, 0.0), axis=-1)
+
+            d_e = energy_at(xn, yn) - energy_at(xi, yi)
+
+            u_acc = jax.random.uniform(kacc, (h, h))
+            accept = has & inbox & (jnp.log(u_acc) < -beta * d_e)
+            upd = sel & accept[..., None]
+            x_new = jnp.where(upd, xn, x_a)
+            y_new = jnp.where(upd, yn, y_a)
+            cells = {**cells,
+                     "x": cells["x"].at[sl].set(x_new),
+                     "y": cells["y"].at[sl].set(y_new)}
+            e_tot = e_tot + jnp.sum(jnp.where(accept, d_e, 0.0))
+            n_att = jnp.sum(has.astype(jnp.int32))
+            n_acc = jnp.sum(accept.astype(jnp.int32))
+            return cells, e_tot, n_att, n_acc
+
+        return color_substep
+
+    colors = tuple(make_color(cy0, cx0)
+                   for cy0 in (0, 1) for cx0 in (0, 1))
+
+    def substep(cells, e_tot, key, color, sigma, beta):
+        return jax.lax.switch(
+            color, [lambda args, f=f: f(*args) for f in colors],
+            (cells, e_tot, key, sigma, beta))
+
+    return substep
+
+
+# ---------------------------------------------------------------------------
+# Segment driver
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "pair_energy", "rcut2_of"))
+def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
+                    energy, sigma, key, n_substeps):
+    """Run ``n_substeps`` checkerboard substeps on a CHAIN-STACKED state.
+
+    Args:
+      grid: static :class:`CellGrid` plan.
+      pair_energy / rcut2_of: static model closures on (r2, attr_i, attr_j).
+      pos: (M, N, 2); attr: (M, N); beta, energy: (M,).
+      sigma: traced proposal width; key: base PRNG key for the segment.
+      n_substeps: substep count (traced int; each substep attempts
+        ~nc^2/4 moves per chain).
+
+    Returns ``(pos', attr', energy', attempts, accepts, overflow)`` with
+    attempts/accepts (M,) int32 and overflow (M,) bool (a True means the
+    static cell capacity was exceeded at bind time — enlarge ``cap``).
+    """
+    m, n, _ = pos.shape
+    substep = _make_substep(grid, pair_energy, rcut2_of)
+
+    cells = jax.vmap(functools.partial(bind_cells, grid))(pos, attr)
+    overflow = cells.pop("overflow")            # (M,)
+    chain_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, jnp.arange(m, dtype=jnp.uint32))
+
+    def body(i, carry):
+        cells, e, att, acc = carry
+        # the color draw is SHARED across chains (its own stream off the
+        # segment key) so the 4-way color switch stays scalar under vmap —
+        # a vectorized switch would execute every branch per substep
+        color = jax.random.randint(
+            jax.random.fold_in(jax.random.fold_in(key, 0xC0110), i),
+            (), 0, 4)
+        keys_i = jax.vmap(jax.random.fold_in, (0, None))(chain_keys, i)
+        cells, e, n_att, n_acc = jax.vmap(
+            lambda c, ec, k, b: substep(c, ec, k, color, sigma, b))(
+            cells, e, keys_i, beta)
+        return cells, e, att + n_att, acc + n_acc
+
+    cells, e, att, acc = jax.lax.fori_loop(
+        0, jnp.asarray(n_substeps, jnp.int32), body,
+        (cells, energy, jnp.zeros((m,), jnp.int32),
+         jnp.zeros((m,), jnp.int32)))
+    pos_out, attr_out = jax.vmap(lambda c: unbind_cells(c, n))(cells)
+    pos_out = pos_out % grid.box
+    return pos_out, attr_out, e, att, acc, overflow

@@ -1,0 +1,140 @@
+"""Checkerboard cell-list MC (``ops/cell_mc.py``) — the large-N particle
+path: bind/unbind correctness, exact incremental-energy bookkeeping, engine
+integration via ``Metropolis(fused='cell')``, and statistical agreement with
+the O(N)-row generic path (same canonical ensemble)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import montecarlo_tpu as mc
+from montecarlo_tpu.models import lennard_jones as lj
+from montecarlo_tpu.ops import cell_mc
+from montecarlo_tpu.parallel import make_mesh
+
+PARAMS = lj.LJParams()
+
+
+def _closures():
+    pe, rc2, rcut_max = lj.cell_closures(PARAMS)
+    return pe, rc2, rcut_max
+
+
+def test_plan_grid_geometry():
+    g = cell_mc.plan_grid(1024, 29.2, rcut=2.5, d_cap=0.45)
+    assert g.nc % 2 == 0 and g.nc >= 4
+    assert g.w >= 2.5 + 2 * 0.45
+    assert g.nc * g.nc * g.cap >= 1024
+    with pytest.raises(ValueError):
+        cell_mc.plan_grid(64, 8.0, rcut=2.5, d_cap=0.45)  # box too small
+
+
+def test_bind_unbind_roundtrip():
+    st = lj.init_chains(1, 512, rho=1.0, beta=1.0, frac_b=0.2, seed=2,
+                        params=PARAMS)
+    box = float(st.box[0])
+    grid = cell_mc.plan_grid(512, box, rcut=2.5, d_cap=0.45)
+    cells = cell_mc.bind_cells(grid, st.pos[0],
+                               st.species[0].astype(jnp.float32))
+    assert not bool(cells["overflow"])
+    assert int(cells["occ"].sum()) == 512
+    pos, attr = cell_mc.unbind_cells(cells, 512)
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(st.pos[0]))
+    np.testing.assert_array_equal(np.asarray(attr),
+                                  np.asarray(st.species[0]))
+
+
+def test_segment_energy_bookkeeping():
+    pe, rc2, _ = _closures()
+    st = lj.init_chains(2, 512, rho=1.2, beta=1.0 / 0.45, frac_b=0.2,
+                        seed=4, params=PARAMS)
+    grid = cell_mc.plan_grid(512, float(st.box[0]), rcut=2.5, d_cap=0.45)
+    pos, _, e, att, acc, ovf = cell_mc.cell_mc_segment(
+        grid, pe, rc2, st.pos, st.species.astype(jnp.float32), st.beta,
+        st.energy, 0.08, jax.random.key(0), 100)
+    assert not bool(np.any(np.asarray(ovf)))
+    assert np.all(np.asarray(att) > 0) and np.all(np.asarray(acc) > 0)
+    st2 = dataclasses.replace(st, pos=pos, energy=e)
+    e_true = np.asarray(jax.lax.map(
+        lambda s: lj.total_energy(s, PARAMS), st2))
+    np.testing.assert_allclose(np.asarray(e), e_true, rtol=2e-5, atol=1e-2)
+
+
+@pytest.fixture(scope="module")
+def engine_cell_run(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cellmc"))
+    N, M, steps = 512, 8, 40
+    chains = lj.init_chains(M, N, rho=1.0, beta=1.0, frac_b=0.2, seed=6,
+                            params=PARAMS)
+    pool = (lj.lj_displacement_move(0.1, params=PARAMS),)
+    mesh = make_mesh(n_devices=8)
+    sim = mc.Simulation(
+        lj.make_system(PARAMS), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=1, sweepstep=64,
+              fused="cell"),
+         dict(algorithm=mc.StoreCallbacks,
+              callbacks=(lj.callback_energy_per_particle,),
+              scheduler=np.arange(10, steps + 1, 10))],
+        steps, path=path, mesh=mesh)
+    sim.run()
+    return sim, path, steps
+
+
+def test_engine_cell_path(engine_cell_run):
+    sim, path, steps = engine_cell_run
+    met = sim.device_algos[0]
+    assert met._use_cell and met.supports_fused
+    slc = sim.device_state["metropolis"]
+    assert not bool(np.asarray(slc["cell_overflow"]))
+    cnt = np.asarray(slc["counters"])
+    # substep rounding can overshoot the requested move count slightly
+    want = steps * 64
+    assert np.all(cnt[:, 0, 1] >= want)
+    assert np.all(cnt[:, 0, 1] <= want * 1.5)
+    assert np.all(cnt[:, 0, 0] > 0)
+    e = np.loadtxt(f"{path}/energy_per_particle.dat")
+    assert np.all(np.isfinite(e[:, 1]))
+
+
+def test_engine_cell_energy_consistent(engine_cell_run):
+    sim, _, _ = engine_cell_run
+    st = sim.device_state["sys"]
+    e_true = np.asarray(jax.lax.map(
+        lambda s: lj.total_energy(s, PARAMS), st))
+    # refresh hook revalidated at the last observation point
+    np.testing.assert_allclose(np.asarray(st.energy), e_true, rtol=1e-5,
+                               atol=1e-2)
+
+
+def test_cell_vs_generic_same_ensemble():
+    """Equilibrium e/N from the cell path matches the generic row path
+    (both sample the same canonical ensemble)."""
+    N, M = 256, 24
+    n_att = 6000
+    st = lj.init_chains(M, N, rho=1.0, beta=1.0, frac_b=0.0, seed=8,
+                        params=PARAMS)
+    pe, rc2, _ = _closures()
+    grid = cell_mc.plan_grid(N, float(st.box[0]), rcut=2.5, d_cap=0.45)
+    per = grid.nc * grid.nc // 4
+    pos, _, e, att, _, ovf = cell_mc.cell_mc_segment(
+        grid, pe, rc2, st.pos, st.species.astype(jnp.float32), st.beta,
+        st.energy, 0.12, jax.random.key(9), n_att // per)
+    assert not bool(np.any(np.asarray(ovf)))
+    st_c = dataclasses.replace(st, pos=pos, energy=e)
+    e_cell = np.asarray(jax.lax.map(
+        lambda s: lj.total_energy(s, PARAMS), st_c)) / N
+
+    from montecarlo_tpu.ops.lj_sweep import fused_lj_sweep
+    pos_r, e_r, _ = fused_lj_sweep(
+        st.pos, st.species, st.beta, st.energy, float(st.box[0]), 0.12,
+        17, 0, int(att[0]), params=PARAMS, interpret=True)
+    st_r = dataclasses.replace(st, pos=pos_r, energy=e_r)
+    e_row = np.asarray(jax.lax.map(
+        lambda s: lj.total_energy(s, PARAMS), st_r)) / N
+
+    se = np.sqrt(e_cell.std() ** 2 / M + e_row.std() ** 2 / M)
+    assert abs(e_cell.mean() - e_row.mean()) < 4 * se + 0.02, (
+        f"cell {e_cell.mean():.4f} vs row {e_row.mean():.4f} (se {se:.4f})")
