@@ -269,20 +269,36 @@ class Metropolis(DeviceAlgorithm):
         self._cell_plan = None
         self._cell_model = None
         kinds = tuple(m.move.kind for m in self.pool)
-        if kinds not in (("lj_displacement_2d",), ("poly_displacement_2d",)):
+        if kinds == ("lj_displacement_2d",):
+            family, swap_mode, disp_idx, swap_idx = "lj", None, 0, None
+        elif kinds == ("poly_displacement_2d",):
+            family, swap_mode, disp_idx, swap_idx = "poly", None, 0, None
+        elif set(kinds) == {"lj_displacement_2d", "lj_swap"}:
+            family, swap_mode = "lj", "species"
+            disp_idx = kinds.index("lj_displacement_2d")
+            swap_idx = kinds.index("lj_swap")
+        elif set(kinds) == {"poly_displacement_2d", "poly_swap"}:
+            family, swap_mode = "poly", "pair"
+            disp_idx = kinds.index("poly_displacement_2d")
+            swap_idx = kinds.index("poly_swap")
+        else:
             return
+        if swap_idx is not None and (
+                self.pool[disp_idx].move.aux != self.pool[swap_idx].move.aux):
+            return  # two different interaction tables: no shared geometry
         try:
             state0 = sim.chains0
             box0 = float(np.asarray(state0.box).ravel()[0])
             n_particles = int(state0.pos.shape[-2])
-            if kinds[0] == "lj_displacement_2d":
+            if family == "lj":
                 from ..models.lennard_jones import cell_closures
             else:
                 from ..models.polydisperse import cell_closures
-            pe, rc2, rcut_max = cell_closures(self.pool[0].move.aux)
+            pe, rc2, rcut_max = cell_closures(self.pool[disp_idx].move.aux)
             from ..ops.cell_mc import plan_grid
             self._cell_plan = plan_grid(n_particles, box0, rcut_max)
-            self._cell_model = (pe, rc2)
+            self._cell_model = (pe, rc2, family, swap_mode, disp_idx,
+                                swap_idx)
             self._cell_n = n_particles
         except (ValueError, AttributeError):
             self._cell_plan = None  # box too small / no geometry: row path
@@ -389,21 +405,33 @@ class Metropolis(DeviceAlgorithm):
         if self._use_cell:           # checkerboard cell MC (large N)
             from ..ops.cell_mc import cell_mc_segment
             plan = self._cell_plan
-            pe, rc2 = self._cell_model
-            sigma = jax.tree_util.tree_leaves(params[0])[0]
+            pe, rc2, family, swap_mode, disp_idx, swap_idx = self._cell_model
+            sigma = jax.tree_util.tree_leaves(params[disp_idx])[0]
+            w_disp = (1.0 if swap_idx is None else
+                      float(self.weights[disp_idx] / self.weights.sum()))
             per_substep = (plan.nc * plan.nc) // 4
             substeps = (total + per_substep - 1) // per_substep
             base = jax.random.fold_in(jax.random.key(self.seed),
                                       micro_t0.astype(jnp.uint32))
-            is_lj = kinds[0] == "lj_displacement_2d"
-            attr = (sys.species.astype(jnp.float32) if is_lj else sys.diam)
-            pos, _, energy, att, acc, ovf = cell_mc_segment(
+            attr = (sys.species.astype(jnp.float32) if family == "lj"
+                    else sys.diam)
+            pos, attr_out, energy, att, acc, ovf = cell_mc_segment(
                 plan, pe, rc2, sys.pos, attr, sys.beta, sys.energy,
-                sigma, base, substeps)
-            new_sys = dataclasses.replace(sys, pos=pos, energy=energy)
-            counters = slc["counters"] + jnp.stack(
-                [acc, att], axis=-1)[:, None, :]
-            out_slc = {**slc, "counters": counters}
+                sigma, base, substeps, w_disp=w_disp, swap_mode=swap_mode)
+            if family == "lj":
+                new_sys = dataclasses.replace(
+                    sys, pos=pos, species=attr_out.astype(sys.species.dtype),
+                    energy=energy)
+            else:
+                new_sys = dataclasses.replace(
+                    sys, pos=pos, diam=attr_out, energy=energy)
+            inc = jnp.zeros_like(slc["counters"])
+            inc = inc.at[:, disp_idx, 0].add(acc[:, 0])
+            inc = inc.at[:, disp_idx, 1].add(att[:, 0])
+            if swap_idx is not None:
+                inc = inc.at[:, swap_idx, 0].add(acc[:, 1])
+                inc = inc.at[:, swap_idx, 1].add(att[:, 1])
+            out_slc = {**slc, "counters": slc["counters"] + inc}
             if "cell_overflow" in slc:
                 out_slc["cell_overflow"] = slc["cell_overflow"] | jnp.any(ovf)
             return {**dstate, "sys": new_sys,

@@ -163,7 +163,7 @@ def _roll2(a, dy, dx):
 # The substep
 # ---------------------------------------------------------------------------
 
-def _make_substep(grid: CellGrid, pair_energy, rcut2_of):
+def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
     """Build the one-color multi-move MH substep for ONE chain.
 
     ``pair_energy(r2, a_i, a_j) -> u`` and ``rcut2_of(a_i, a_j) -> rc^2``
@@ -171,13 +171,65 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of):
 
     The substep is built per COLOR (a static (cy0, cx0) parity pair): only
     the active color's ``(nc/2, nc/2, C)`` sub-grid computes proposals and
-    energies — the driver dispatches the 4 variants through a
-    ``lax.switch`` on a substep-shared color draw, so each substep pays for
-    the active quarter only (not a masked full-grid pass).
+    energies — the driver dispatches the variants through a ``lax.switch``
+    on a substep-shared draw, so each substep pays for the active quarter
+    only (not a masked full-grid pass).
+
+    ``swap_mode`` adds a second substep family — WITHIN-CELL attribute
+    swaps, the cell-parallel form of swap MC:
+
+    - ``"species"`` (binary LJ): exchange the species of one A and one B
+      occupant of each active cell.  The cell's (n_A, n_B) counts are
+      invariant under the exchange, so the ``1/(n_A n_B)`` pick
+      probabilities cancel exactly.
+    - ``"pair"`` (polydisperse): exchange the diameters of an ordered pair
+      of distinct occupants; ``1/(n (n-1))`` cancels likewise.
+
+    Swapped particles never move, so simultaneous same-color swaps are
+    independent by the same ``w >= rcut + 2 d_cap`` geometry as
+    displacements (every affected pair term stays inside the 3x3
+    neighbourhoods of the two cells, which are > rcut apart).
     """
     nc, cap, w, d_cap, box = (grid.nc, grid.cap, grid.w, grid.d_cap,
                               grid.box)
     h = nc // 2
+    centre = _NEIGH.index((0, 0))
+
+    def stack_nbhd(cells, sl):
+        """One (h, h, 9C) stacked neighbourhood per field, built once per
+        substep and shared by all energy passes — 9x fewer op dispatches
+        than a per-offset loop (the XLA path is dispatch-bound, not
+        flop-bound, at these tile sizes)."""
+        stack = lambda a: jnp.concatenate(
+            [_roll2(a, dy, dx)[sl] for (dy, dx) in _NEIGH], axis=-1)
+        return (stack(cells["x"]), stack(cells["y"]),
+                stack(cells["attr"]), stack(cells["occ"]))
+
+    def excl_centre(occ9, sel):
+        """Occupancy with the (h, h, C) one-hot ``sel`` masked out of the
+        centre block (the mover's / swappers' own slots)."""
+        return occ9 & jnp.logical_not(
+            jnp.zeros_like(occ9).at[
+                ..., centre * cap:(centre + 1) * cap].set(sel))
+
+    def energy_at(px, py, pa, xs9, ys9, as9, ok9):
+        ddx = xs9 - px
+        ddy = ys9 - py
+        ddx = ddx - box * jnp.round(ddx / box)
+        ddy = ddy - box * jnp.round(ddy / box)
+        r2 = ddx * ddx + ddy * ddy
+        u_p = pair_energy(r2, pa, as9)
+        ok = ok9 & (r2 < rcut2_of(pa, as9))
+        return jnp.sum(jnp.where(ok, u_p, 0.0), axis=-1)
+
+    def gumbel_pick(key, mask):
+        """(h, h, C) one-hot uniform pick among ``mask`` slots (empty mask
+        -> all-False one-hot), lowest slot breaking float ties."""
+        u = jax.random.uniform(key, mask.shape)
+        score = jnp.where(mask, u, -1.0)
+        sel = score == jnp.max(score, axis=-1, keepdims=True)
+        first = jnp.cumsum(sel.astype(jnp.int32), axis=-1) == 1
+        return sel & first & mask
 
     def make_color(cy0, cx0):
         # static geometry of the active sub-grid
@@ -192,20 +244,14 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of):
             occ_a = cells["occ"][sl]              # (h, h, C)
             x_a = cells["x"][sl]
             y_a = cells["y"][sl]
-            attr_a = cells["attr"][sl]
 
-            # uniform occupant pick per active cell (Gumbel-max over
-            # occupied slots; ties broken toward the lowest slot)
-            u = jax.random.uniform(kpick, (h, h, cap))
-            score = jnp.where(occ_a, u, -1.0)
-            sel = score == jnp.max(score, axis=-1, keepdims=True)
-            first = jnp.cumsum(sel.astype(jnp.int32), axis=-1) == 1
-            sel = sel & first & occ_a
+            # uniform occupant pick per active cell
+            sel = gumbel_pick(kpick, occ_a)
             has = jnp.any(occ_a, axis=-1)
 
             pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=-1,
                                      keepdims=True)
-            xi, yi, ai = pick(x_a), pick(y_a), pick(attr_a)
+            xi, yi, ai = pick(x_a), pick(y_a), pick(cells["attr"][sl])
 
             delta = sigma * jax.random.normal(kprop, (h, h, 2))
             xn = xi + delta[..., 0:1]
@@ -219,43 +265,17 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of):
                      & (yn[..., 0] >= act_y0[..., 0] - d_cap)
                      & (yn[..., 0] < act_y0[..., 0] + w + d_cap))
 
-            # one (h, h, 9C) stacked neighbourhood, built once and shared by
-            # the old/new energy passes — 9x fewer op dispatches than a
-            # per-offset loop (the XLA path is dispatch-bound, not
-            # flop-bound, at these tile sizes)
-            stack = lambda a: jnp.concatenate(
-                [_roll2(a, dy, dx)[sl] for (dy, dx) in _NEIGH], axis=-1)
-            xs9 = stack(cells["x"])
-            ys9 = stack(cells["y"])
-            as9 = stack(cells["attr"])
-            occ9 = stack(cells["occ"])
-            # exclude the mover's own slot (it sits in the centre block)
-            centre = _NEIGH.index((0, 0))
-            excl9 = jnp.zeros_like(occ9).at[
-                ..., centre * cap:(centre + 1) * cap].set(sel)
-            ok9 = occ9 & jnp.logical_not(excl9)
-            rc29 = rcut2_of(ai, as9)
-
-            def energy_at(px, py):
-                ddx = xs9 - px
-                ddy = ys9 - py
-                ddx = ddx - box * jnp.round(ddx / box)
-                ddy = ddy - box * jnp.round(ddy / box)
-                r2 = ddx * ddx + ddy * ddy
-                u_p = pair_energy(r2, ai, as9)
-                return jnp.sum(
-                    jnp.where(ok9 & (r2 < rc29), u_p, 0.0), axis=-1)
-
-            d_e = energy_at(xn, yn) - energy_at(xi, yi)
+            xs9, ys9, as9, occ9 = stack_nbhd(cells, sl)
+            ok9 = excl_centre(occ9, sel)
+            d_e = (energy_at(xn, yn, ai, xs9, ys9, as9, ok9)
+                   - energy_at(xi, yi, ai, xs9, ys9, as9, ok9))
 
             u_acc = jax.random.uniform(kacc, (h, h))
             accept = has & inbox & (jnp.log(u_acc) < -beta * d_e)
             upd = sel & accept[..., None]
-            x_new = jnp.where(upd, xn, x_a)
-            y_new = jnp.where(upd, yn, y_a)
             cells = {**cells,
-                     "x": cells["x"].at[sl].set(x_new),
-                     "y": cells["y"].at[sl].set(y_new)}
+                     "x": cells["x"].at[sl].set(jnp.where(upd, xn, x_a)),
+                     "y": cells["y"].at[sl].set(jnp.where(upd, yn, y_a))}
             e_tot = e_tot + jnp.sum(jnp.where(accept, d_e, 0.0))
             n_att = jnp.sum(has.astype(jnp.int32))
             n_acc = jnp.sum(accept.astype(jnp.int32))
@@ -263,12 +283,64 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of):
 
         return color_substep
 
-    colors = tuple(make_color(cy0, cx0)
-                   for cy0 in (0, 1) for cx0 in (0, 1))
+    def make_color_swap(cy0, cx0):
+        def swap_substep(cells, e_tot, key, sigma, beta):
+            ki, kj, kacc = jax.random.split(key, 3)
+            sl = (slice(cy0, None, 2), slice(cx0, None, 2))
+            occ_a = cells["occ"][sl]
+            attr_a = cells["attr"][sl]
 
-    def substep(cells, e_tot, key, color, sigma, beta):
+            if swap_mode == "species":
+                is_b = attr_a > 0.5
+                sel_i = gumbel_pick(ki, occ_a & jnp.logical_not(is_b))
+                sel_j = gumbel_pick(kj, occ_a & is_b)
+            else:                       # "pair": ordered distinct pair
+                sel_i = gumbel_pick(ki, occ_a)
+                sel_j = gumbel_pick(kj, occ_a & jnp.logical_not(sel_i))
+            valid = jnp.any(sel_i, axis=-1) & jnp.any(sel_j, axis=-1)
+
+            pick = lambda s, a: jnp.sum(jnp.where(s, a, 0.0), axis=-1,
+                                        keepdims=True)
+            xi, yi, ai = (pick(sel_i, cells["x"][sl]),
+                          pick(sel_i, cells["y"][sl]), pick(sel_i, attr_a))
+            xj, yj, aj = (pick(sel_j, cells["x"][sl]),
+                          pick(sel_j, cells["y"][sl]), pick(sel_j, attr_a))
+
+            xs9, ys9, as9, occ9 = stack_nbhd(cells, sl)
+            # exclude BOTH swappers: the i-j pair term is symmetric under
+            # the exchange (eps/sig tables and sigma_ij are symmetric) and
+            # cancels in dE
+            ok9 = excl_centre(occ9, sel_i | sel_j)
+            e_old = (energy_at(xi, yi, ai, xs9, ys9, as9, ok9)
+                     + energy_at(xj, yj, aj, xs9, ys9, as9, ok9))
+            e_new = (energy_at(xi, yi, aj, xs9, ys9, as9, ok9)
+                     + energy_at(xj, yj, ai, xs9, ys9, as9, ok9))
+            d_e = e_new - e_old
+
+            u_acc = jax.random.uniform(kacc, (h, h))
+            accept = valid & (jnp.log(u_acc) < -beta * d_e)
+            upd_i = sel_i & accept[..., None]
+            upd_j = sel_j & accept[..., None]
+            attr_new = jnp.where(upd_i, aj, jnp.where(upd_j, ai, attr_a))
+            cells = {**cells,
+                     "attr": cells["attr"].at[sl].set(attr_new)}
+            e_tot = e_tot + jnp.sum(jnp.where(accept, d_e, 0.0))
+            n_att = jnp.sum(valid.astype(jnp.int32))
+            n_acc = jnp.sum(accept.astype(jnp.int32))
+            return cells, e_tot, n_att, n_acc
+
+        return swap_substep
+
+    parities = tuple((cy0, cx0) for cy0 in (0, 1) for cx0 in (0, 1))
+    variants = [make_color(*p) for p in parities]
+    if swap_mode is not None:
+        variants += [make_color_swap(*p) for p in parities]
+
+    def substep(cells, e_tot, key, variant, sigma, beta):
+        """``variant`` = kind * 4 + color (kind 0 = displacement,
+        kind 1 = swap when enabled); a substep-shared scalar."""
         return jax.lax.switch(
-            color, [lambda args, f=f: f(*args) for f in colors],
+            variant, [lambda args, f=f: f(*args) for f in variants],
             (cells, e_tot, key, sigma, beta))
 
     return substep
@@ -279,9 +351,11 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of):
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "pair_energy", "rcut2_of"))
+    jax.jit, static_argnames=("grid", "pair_energy", "rcut2_of",
+                              "swap_mode"))
 def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
-                    energy, sigma, key, n_substeps):
+                    energy, sigma, key, n_substeps, w_disp=1.0,
+                    swap_mode=None):
     """Run ``n_substeps`` checkerboard substeps on a CHAIN-STACKED state.
 
     Args:
@@ -291,13 +365,18 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
       sigma: traced proposal width; key: base PRNG key for the segment.
       n_substeps: substep count (traced int; each substep attempts
         ~nc^2/4 moves per chain).
+      w_disp: traced probability that a substep is a displacement substep
+        (vs a within-cell swap substep) — ignored when ``swap_mode`` is
+        None.
+      swap_mode: None / "species" / "pair" (see :func:`_make_substep`).
 
     Returns ``(pos', attr', energy', attempts, accepts, overflow)`` with
-    attempts/accepts (M,) int32 and overflow (M,) bool (a True means the
-    static cell capacity was exceeded at bind time — enlarge ``cap``).
+    attempts/accepts (M, 2) int32 (column 0 displacement, column 1 swap)
+    and overflow (M,) bool (a True means the static cell capacity was
+    exceeded at bind time — enlarge ``cap``).
     """
     m, n, _ = pos.shape
-    substep = _make_substep(grid, pair_energy, rcut2_of)
+    substep = _make_substep(grid, pair_energy, rcut2_of, swap_mode)
 
     cells = jax.vmap(functools.partial(bind_cells, grid))(pos, attr)
     overflow = cells.pop("overflow")            # (M,)
@@ -306,22 +385,30 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
 
     def body(i, carry):
         cells, e, att, acc = carry
-        # the color draw is SHARED across chains (its own stream off the
-        # segment key) so the 4-way color switch stays scalar under vmap —
-        # a vectorized switch would execute every branch per substep
-        color = jax.random.randint(
-            jax.random.fold_in(jax.random.fold_in(key, 0xC0110), i),
-            (), 0, 4)
+        # the color/kind draws are SHARED across chains (their own stream
+        # off the segment key) so the variant switch stays scalar under
+        # vmap — a vectorized switch would execute every branch per substep
+        kv = jax.random.fold_in(jax.random.fold_in(key, 0xC0110), i)
+        color = jax.random.randint(kv, (), 0, 4)
+        if swap_mode is None:
+            kind = jnp.zeros((), jnp.int32)
+        else:
+            kind = (jax.random.uniform(jax.random.fold_in(kv, 1))
+                    >= w_disp).astype(jnp.int32)
+        variant = kind * 4 + color
         keys_i = jax.vmap(jax.random.fold_in, (0, None))(chain_keys, i)
         cells, e, n_att, n_acc = jax.vmap(
-            lambda c, ec, k, b: substep(c, ec, k, color, sigma, b))(
+            lambda c, ec, k, b: substep(c, ec, k, variant, sigma, b))(
             cells, e, keys_i, beta)
-        return cells, e, att + n_att, acc + n_acc
+        koh = jax.nn.one_hot(kind, 2, dtype=jnp.int32)       # (2,)
+        att = att + n_att[:, None] * koh[None, :]
+        acc = acc + n_acc[:, None] * koh[None, :]
+        return cells, e, att, acc
 
     cells, e, att, acc = jax.lax.fori_loop(
         0, jnp.asarray(n_substeps, jnp.int32), body,
-        (cells, energy, jnp.zeros((m,), jnp.int32),
-         jnp.zeros((m,), jnp.int32)))
+        (cells, energy, jnp.zeros((m, 2), jnp.int32),
+         jnp.zeros((m, 2), jnp.int32)))
     pos_out, attr_out = jax.vmap(lambda c: unbind_cells(c, n))(cells)
     pos_out = pos_out % grid.box
     return pos_out, attr_out, e, att, acc, overflow

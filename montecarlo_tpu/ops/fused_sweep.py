@@ -71,24 +71,32 @@ def software_bits(step_seed, draw, shape):
 def make_draw(hw_prng: bool, step_seed, shape):
     """Per-step random-bit source: ``draw(k)`` -> uint32 array of ``shape``.
 
-    In BOTH modes ``draw(k)`` is a pure function of ``(step_seed, k)``: the
-    hardware path re-seeds the TPU PRNG with a per-draw tag before pulling a
-    block (a ``prng_seed`` is a couple of scalar stores — negligible next to
-    the block generation), the software path (interpret mode / CPU CI)
-    hashes (seed, k, lane).  Purity in ``k`` matters: it makes reusing or
-    reordering a draw index behave identically on CI and real TPU instead of
-    silently diverging (the streams still differ bit-for-bit — the kernels'
-    contract is statistical, not bitwise).
+    Hardware path seeds the TPU PRNG once per step and pulls sequential
+    blocks; software path (interpret mode / CPU CI) hashes (seed, k, lane).
+    The hardware stream is positional (block order), NOT a function of
+    ``k`` — so the closure ENFORCES at trace time (``k`` is always a static
+    python int) that callers request strictly sequential fresh indices
+    ``0, 1, 2, ...``: a reused or reordered index would silently return
+    different bits on CI (interpret/software mode, where ``draw(k)`` IS a
+    pure function of ``k``) than on real TPU.  Trace-time assertion = zero
+    runtime cost in the PRNG-bound kernels (a per-draw re-seed measured a
+    ~6% throughput hit on the headline Gaussian sweep).
     """
-    import numpy as _np
-
-    def _tag(k):
-        return jnp.int32(int(_np.uint32(k * 0x3243F6A9).view(_np.int32)))
-
     if hw_prng:
+        expected = [0]
+
         def draw(k):
-            pltpu.prng_seed(_hash32(step_seed ^ _tag(k)) + jnp.int32(k))
-            return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            if k != expected[0]:
+                raise ValueError(
+                    f"make_draw(hardware): draw index {k} requested but the "
+                    f"sequential stream is at {expected[0]} — hardware "
+                    f"draws are positional; request fresh indices 0, 1, 2, "
+                    f"... per make_draw closure")
+            expected[0] += 1
+            if k == 0:
+                pltpu.prng_seed(step_seed)
+            return pltpu.bitcast(
+                pltpu.prng_random_bits(shape), jnp.uint32)
         return draw
     return lambda k: software_bits(step_seed, k, shape)
 

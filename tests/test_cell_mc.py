@@ -56,7 +56,8 @@ def test_segment_energy_bookkeeping():
         grid, pe, rc2, st.pos, st.species.astype(jnp.float32), st.beta,
         st.energy, 0.08, jax.random.key(0), 100)
     assert not bool(np.any(np.asarray(ovf)))
-    assert np.all(np.asarray(att) > 0) and np.all(np.asarray(acc) > 0)
+    assert np.all(np.asarray(att)[:, 0] > 0)
+    assert np.all(np.asarray(acc)[:, 0] > 0)
     st2 = dataclasses.replace(st, pos=pos, energy=e)
     e_true = np.asarray(jax.lax.map(
         lambda s: lj.total_energy(s, PARAMS), st2))
@@ -130,7 +131,7 @@ def test_cell_vs_generic_same_ensemble():
     from montecarlo_tpu.ops.lj_sweep import fused_lj_sweep
     pos_r, e_r, _ = fused_lj_sweep(
         st.pos, st.species, st.beta, st.energy, float(st.box[0]), 0.12,
-        17, 0, int(att[0]), params=PARAMS, interpret=True)
+        17, 0, int(att[0, 0]), params=PARAMS, interpret=True)
     st_r = dataclasses.replace(st, pos=pos_r, energy=e_r)
     e_row = np.asarray(jax.lax.map(
         lambda s: lj.total_energy(s, PARAMS), st_r)) / N
@@ -138,3 +139,82 @@ def test_cell_vs_generic_same_ensemble():
     se = np.sqrt(e_cell.std() ** 2 / M + e_row.std() ** 2 / M)
     assert abs(e_cell.mean() - e_row.mean()) < 4 * se + 0.02, (
         f"cell {e_cell.mean():.4f} vs row {e_row.mean():.4f} (se {se:.4f})")
+
+
+def test_cell_swap_species_conserved():
+    """Within-cell species swaps: composition conserved, cache exact, both
+    kinds attempted."""
+    pe, rc2, _ = _closures()
+    st = lj.init_chains(4, 512, rho=1.2, beta=1.0 / 0.45, frac_b=0.2,
+                        seed=11, params=PARAMS)
+    grid = cell_mc.plan_grid(512, float(st.box[0]), rcut=2.5, d_cap=0.45)
+    pos, attr, e, att, acc, ovf = cell_mc.cell_mc_segment(
+        grid, pe, rc2, st.pos, st.species.astype(jnp.float32), st.beta,
+        st.energy, 0.08, jax.random.key(1), 400, w_disp=0.6,
+        swap_mode="species")
+    assert not bool(np.any(np.asarray(ovf)))
+    att = np.asarray(att)
+    assert np.all(att[:, 0] > 0) and np.all(att[:, 1] > 0)
+    assert np.all(np.asarray(acc)[:, 1] > 0)
+    species = np.asarray(attr).astype(np.int64)
+    np.testing.assert_array_equal(species.sum(axis=1),
+                                  np.asarray(st.species).sum(axis=1))
+    st2 = dataclasses.replace(st, pos=pos,
+                              species=attr.astype(st.species.dtype),
+                              energy=e)
+    e_true = np.asarray(jax.lax.map(
+        lambda s: lj.total_energy(s, PARAMS), st2))
+    np.testing.assert_allclose(np.asarray(e), e_true, rtol=2e-5, atol=1e-2)
+
+
+def test_cell_swap_pair_diameters_conserved():
+    """Polydisperse within-cell pair swaps conserve the diameter multiset
+    and keep the incremental energy cache exact."""
+    from montecarlo_tpu.models import polydisperse as poly
+
+    params = poly.PolyParams()
+    pe, rc2, rcut_max = poly.cell_closures(params)
+    st = poly.init_chains(4, 512, rho=1.0, beta=1.0, seed=12, params=params)
+    grid = cell_mc.plan_grid(512, float(st.box[0]), rcut_max, d_cap=0.45)
+    pos, diam, e, att, acc, ovf = cell_mc.cell_mc_segment(
+        grid, pe, rc2, st.pos, st.diam, st.beta, st.energy, 0.08,
+        jax.random.key(2), 400, w_disp=0.6, swap_mode="pair")
+    assert not bool(np.any(np.asarray(ovf)))
+    assert np.all(np.asarray(att)[:, 1] > 0)
+    d_new = np.sort(np.asarray(diam), axis=1)
+    d_old = np.sort(np.asarray(st.diam), axis=1)
+    np.testing.assert_allclose(d_new, d_old, rtol=0, atol=0)
+    st2 = dataclasses.replace(st, pos=pos, diam=diam, energy=e)
+    e_true = np.asarray(jax.lax.map(
+        lambda s: poly.total_energy(s, params), st2))
+    np.testing.assert_allclose(np.asarray(e), e_true, rtol=2e-5, atol=1e-2)
+
+
+def test_engine_cell_mixed_pool():
+    """Metropolis(fused='cell') on the LJ mixed displacement+swap pool:
+    per-move counters split by kind, species conserved end to end."""
+    N, M, steps = 512, 4, 24
+    chains = lj.init_chains(M, N, rho=1.2, beta=1.0 / 0.45, frac_b=0.2,
+                            seed=13, params=PARAMS)
+    pool = (lj.lj_displacement_move(0.08, weight=0.7, params=PARAMS),
+            lj.lj_swap_move(weight=0.3, params=PARAMS))
+    sim = mc.Simulation(
+        lj.make_system(PARAMS), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=3, sweepstep=64,
+              fused="cell")],
+        steps, path="/tmp/mctpu_cell_mixed")
+    met = sim.device_algos[0]
+    assert met._use_cell and met.supports_fused
+    sim.run()
+    slc = sim.device_state["metropolis"]
+    assert not bool(np.asarray(slc["cell_overflow"]))
+    cnt = np.asarray(slc["counters"])
+    assert np.all(cnt[:, 0, 1] > 0) and np.all(cnt[:, 1, 1] > 0)
+    st = sim.device_state["sys"]
+    np.testing.assert_array_equal(
+        np.asarray(st.species).sum(axis=1),
+        np.asarray(chains.species).sum(axis=1))
+    e_true = np.asarray(jax.lax.map(
+        lambda s: lj.total_energy(s, PARAMS), st))
+    np.testing.assert_allclose(np.asarray(st.energy), e_true, rtol=1e-5,
+                               atol=1e-2)
