@@ -259,6 +259,10 @@ class Metropolis(DeviceAlgorithm):
         self.mesh = sim.mesh
         self.groups, self.group_of, self.within_of = build_move_groups(
             self.pool)
+        # spatial dimension of particle states (None for non-particle
+        # systems): every fused/cell fast path is 2-D only
+        pos0 = getattr(sim.chains0, "pos", None)
+        self._pos_dim = None if pos0 is None else int(pos0.shape[-1])
         self._plan_cell_mc(sim)
 
     def _plan_cell_mc(self, sim):
@@ -268,6 +272,8 @@ class Metropolis(DeviceAlgorithm):
         parallel per substep)."""
         self._cell_plan = None
         self._cell_model = None
+        if self._pos_dim not in (None, 2):
+            return
         kinds = tuple(m.move.kind for m in self.pool)
         if kinds == ("lj_displacement_2d",):
             family, swap_mode, disp_idx, swap_idx = "lj", None, 0, None
@@ -368,6 +374,8 @@ class Metropolis(DeviceAlgorithm):
             return False
         if self.fused == "cell":
             return self._cell_plan is not None
+        if self._pos_dim not in (None, 2):
+            return False  # Pallas particle kernels are 2-D
         if self.fused != "interpret" and jax.default_backend() != "tpu":
             return False
         kinds = tuple(m.move.kind for m in self.pool)

@@ -148,12 +148,12 @@ def make_system(params: LJParams = LJParams()) -> SystemDef:
                 "energy": state.energy}
 
     def format_frame(t, fr):
-        n = fr["pos"].shape[0]
+        n, d = fr["pos"].shape
         lines = [f"{t} {n} {float(fr['energy'])!r}"]
         for k in range(n):
-            lines.append(f"{int(fr['species'][k])} "
-                         f"{float(fr['pos'][k, 0])!r} "
-                         f"{float(fr['pos'][k, 1])!r}")
+            coords = " ".join(repr(float(fr["pos"][k, a]))
+                              for a in range(d))
+            lines.append(f"{int(fr['species'][k])} {coords}")
         return "\n".join(lines)
 
     def refresh(state: LJState):
@@ -171,14 +171,17 @@ def make_system(params: LJParams = LJParams()) -> SystemDef:
 
 def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
                 frac_b: float = 0.0, seed: int = 42,
-                params: LJParams = LJParams()) -> LJState:
-    """Chain-stacked initial state: square lattice + small jitter (avoids
-    overlaps), species assigned round-robin to hit ``frac_b``."""
-    box = float(np.sqrt(n_particles / rho))
-    side = int(np.ceil(np.sqrt(n_particles)))
+                params: LJParams = LJParams(), dim: int = 2) -> LJState:
+    """Chain-stacked initial state: square/cubic lattice + small jitter
+    (avoids overlaps), species assigned round-robin to hit ``frac_b``.
+    ``dim`` selects the spatial dimension (2 default; 3 runs through the
+    generic engine — the fused/cell fast paths are 2-D)."""
+    box = float((n_particles / rho) ** (1.0 / dim))
+    side = int(np.ceil(n_particles ** (1.0 / dim)))
     spacing = box / side
-    grid = np.stack(np.meshgrid(np.arange(side), np.arange(side)),
-                    axis=-1).reshape(-1, 2)[:n_particles]
+    axes = [np.arange(side)] * dim
+    grid = np.stack(np.meshgrid(*axes), axis=-1).reshape(-1, dim)
+    grid = grid[:n_particles]
     base = (grid + 0.5) * spacing
 
     n_b = int(round(frac_b * n_particles))
@@ -188,7 +191,7 @@ def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
 
     key = jax.random.key(seed)
     jitter = (0.1 * spacing) * jax.random.uniform(
-        key, (n_chains, n_particles, 2), minval=-1.0, maxval=1.0)
+        key, (n_chains, n_particles, dim), minval=-1.0, maxval=1.0)
     pos = (jnp.asarray(base, jnp.float32)[None] + jitter) % box
 
     state = LJState(
@@ -214,7 +217,8 @@ def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
 # ---------------------------------------------------------------------------
 
 class GaussianDisplacement2D(Policy):
-    """Uniform particle pick + isotropic Gaussian displacement.
+    """Uniform particle pick + isotropic Gaussian displacement (any spatial
+    dimension — the name keeps the original 2-D API).
 
     The particle-selection factor 1/N is identical forward/backward and the
     Gaussian is symmetric, so logq_f == logq_b — both are still computed by
@@ -223,17 +227,17 @@ class GaussianDisplacement2D(Policy):
 
     def sample(self, params, key, state):
         ki, kd = jax.random.split(key)
-        n = state.pos.shape[0]
+        n, d = state.pos.shape
         i = jax.random.randint(ki, (), 0, n)
-        delta = params["sigma"] * jax.random.normal(kd, (2,))
+        delta = params["sigma"] * jax.random.normal(kd, (d,))
         return {"i": i, "delta": delta}
 
     def log_density(self, params, action, state):
         sigma = params["sigma"]
         d2 = jnp.sum(action["delta"] ** 2)
-        n = state.pos.shape[0]
+        n, d = state.pos.shape
         return (-d2 / (2.0 * sigma * sigma)
-                - jnp.log(2.0 * jnp.pi * sigma * sigma)
+                - (d / 2.0) * jnp.log(2.0 * jnp.pi * sigma * sigma)
                 - jnp.log(jnp.asarray(float(n), sigma.dtype)))
 
 
@@ -387,9 +391,9 @@ def cell_closures(params: LJParams):
 
 
 def virial_pressure(state: LJState, params: LJParams = LJParams()):
-    """Instantaneous 2-D virial pressure of ONE chain.
+    """Instantaneous virial pressure of ONE chain (any dimension d).
 
-    ``P = rho / beta + W / (2 V)`` with the pair virial
+    ``P = rho / beta + W / (d V)`` with the pair virial
     ``w(r) = -r du/dr = 24 eps [2 (sig/r)^12 - (sig/r)^6]`` summed over pairs
     inside the cutoff.  Exact for the truncated-and-shifted potential the
     sampler targets: the shift keeps u continuous at rc, so there is no
@@ -406,12 +410,12 @@ def virial_pressure(state: LJState, params: LJParams = LJParams()):
     inv = sig2 / jnp.maximum(r2, 1e-12)
     i6 = inv * inv * inv
     w = 24.0 * eps * (2.0 * i6 * i6 - i6)
-    n = state.pos.shape[0]
+    n, dim = state.pos.shape
     mask = (~jnp.eye(n, dtype=bool)) & (r2 < rc2)
     w_sum = 0.5 * jnp.sum(jnp.where(mask, w, 0.0))
-    v = state.box * state.box
+    v = state.box ** dim
     rho = n / v
-    return rho / state.beta + w_sum / (2.0 * v)
+    return rho / state.beta + w_sum / (dim * v)
 
 
 def callback_pressure(view, params: LJParams = LJParams()):
@@ -440,7 +444,7 @@ def lj_volume_move(dlnv: float, pressure: float, weight: float = 1.0,
     reference engine does not reach: its state never changes geometry).
 
     Samples ``delta = d ln V`` uniformly; the box edge scales by
-    ``exp(delta/2)`` (2-D) and every position with it, the energy is
+    ``exp(delta/dim)`` and every position with it, the energy is
     recomputed in full (O(N^2) — volume moves are scheduled rarely), and
     the NPT acceptance for ln-V sampling is
 
@@ -451,15 +455,15 @@ def lj_volume_move(dlnv: float, pressure: float, weight: float = 1.0,
     """
 
     def apply(state: LJState, delta):
-        scale = jnp.exp(0.5 * delta)
+        n, d = state.pos.shape
+        scale = jnp.exp(delta / d)
         box_new = state.box * scale
         pos_new = state.pos * scale
         new_state0 = dataclasses.replace(state, pos=pos_new, box=box_new)
         e_new = total_energy(new_state0, params)
         d_e = e_new - state.energy
-        v_old = state.box * state.box
+        v_old = state.box ** d
         d_v = v_old * (jnp.exp(delta) - 1.0)
-        n = state.pos.shape[0]
         dlogp = (-state.beta * (d_e + pressure * d_v)
                  + (n + 1) * delta)
         return dataclasses.replace(new_state0, energy=e_new), dlogp
@@ -480,6 +484,6 @@ def lj_volume_move(dlnv: float, pressure: float, weight: float = 1.0,
 
 def callback_density(view):
     """Mean number density N / V over chains (NPT observable)."""
-    n = view.sys.pos.shape[-2]
-    v = view.sys.box * view.sys.box
+    n, d = view.sys.pos.shape[-2:]
+    v = view.sys.box ** d
     return jnp.mean(n / v)

@@ -50,6 +50,7 @@ MODULES = [
     ("montecarlo_tpu.ops.fused_sweep", "Pallas kernel: 1-D Gaussian sweep"),
     ("montecarlo_tpu.ops.lj_sweep", "Pallas kernel: LJ sweeps"),
     ("montecarlo_tpu.ops.poly_sweep", "Pallas kernel: polydisperse sweeps"),
+    ("montecarlo_tpu.ops.cell_mc", "Checkerboard cell-list MC (large N)"),
     ("montecarlo_tpu.ops.cluster", "Cluster-move ops"),
     ("montecarlo_tpu.utils.analysis", "Analysis toolkit"),
     ("montecarlo_tpu.utils.observability", "Observability"),
