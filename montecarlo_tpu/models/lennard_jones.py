@@ -201,11 +201,12 @@ def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
         energy=jnp.zeros((n_chains,), jnp.float32),
         box=jnp.full((n_chains,), box, jnp.float32),
     )
-    # chain-batched map: a full vmap would materialise an (M, N, N, 2)
-    # displacement tensor (8.6 GB at M = N = 1024) and OOM the chip; the
-    # batch shrinks with N^2 to hold peak memory ~2 GB
-    batch = max(1, min(n_chains, int(5e8 // (n_particles ** 2))))
-    rb = None if n_particles <= 4096 else 512
+    # chain-batched map with row-batched inner energies: a full vmap would
+    # materialise an (M, N, N, 2) displacement tensor (8.6 GB at
+    # M = N = 1024) and OOM the chip; budget ~128M pair terms per launch
+    rb = None if n_particles <= 1024 else 256
+    per_chain = (rb or n_particles) * n_particles
+    batch = max(1, min(n_chains, int(2 ** 27 // per_chain)))
     energy = jax.lax.map(
         lambda s: total_energy(s, params, row_batch=rb), state,
         batch_size=batch)

@@ -209,8 +209,9 @@ def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
         box=jnp.full((n_chains,), box, jnp.float32),
     )
     # chain-batched map (a full vmap OOMs at large M x N — see lennard_jones)
-    batch = max(1, min(n_chains, int(5e8 // (n_particles ** 2))))
-    rb = None if n_particles <= 4096 else 512
+    rb = None if n_particles <= 1024 else 256
+    per_chain = (rb or n_particles) * n_particles
+    batch = max(1, min(n_chains, int(2 ** 27 // per_chain)))
     energy = jax.lax.map(
         lambda s: total_energy(s, params, row_batch=rb), state,
         batch_size=batch)

@@ -195,15 +195,50 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
     h = nc // 2
     centre = _NEIGH.index((0, 0))
 
-    def stack_nbhd(cells, sl):
-        """One (h, h, 9C) stacked neighbourhood per field, built once per
-        substep and shared by all energy passes — 9x fewer op dispatches
-        than a per-offset loop (the XLA path is dispatch-bound, not
-        flop-bound, at these tile sizes)."""
-        stack = lambda a: jnp.concatenate(
-            [_roll2(a, dy, dx)[sl] for (dy, dx) in _NEIGH], axis=-1)
-        return (stack(cells["x"]), stack(cells["y"]),
-                stack(cells["attr"]), stack(cells["occ"]))
+    def _shifted_half(a, axis, parity, d):
+        """Cells ``parity + d + 2k`` (periodic) along ``axis``, in active-cell
+        order — a strided half-slice plus a +/-1 roll of the HALVED axis when
+        the offset wraps (o = parity + d is in {-1, 0, 1, 2} only).  Moves
+        ~4x less data than slicing a full-grid torus roll."""
+        o = parity + d
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(o % 2, None, 2)
+        b = a[tuple(sl)]
+        if o == -1:
+            b = jnp.roll(b, 1, axis=axis)
+        elif o == 2:
+            b = jnp.roll(b, -1, axis=axis)
+        return b
+
+    def make_stack_nbhd(cy0, cx0):
+        def stack_nbhd(cells):
+            """One (4, h, h, 9C) packed stacked neighbourhood (x, y, attr,
+            occ), built once per substep and shared by all energy passes —
+            an order of magnitude fewer op dispatches than a per-offset
+            per-field loop (the XLA path is dispatch/bandwidth-bound, not
+            flop-bound, at these tile sizes).  Fields pack on the LEADING
+            axis so the minor (lane) dimension stays the wide 9C slot axis."""
+            if nc <= 24:
+                # packed fields + strided half-slices + tiny rolls: fewest
+                # dispatches and least data moved; measured fastest on
+                # small grids (dispatch-bound regime)
+                packed = jnp.stack(
+                    [cells["x"], cells["y"], cells["attr"],
+                     cells["occ"].astype(jnp.float32)], axis=0)
+                blocks = [
+                    _shifted_half(_shifted_half(packed, 1, cy0, dy),
+                                  2, cx0, dx)
+                    for (dy, dx) in _NEIGH]
+                nb = jnp.concatenate(blocks, axis=-1)   # (4, h, h, 9C)
+                return nb[0], nb[1], nb[2], nb[3] > 0.5
+            # large grids (bandwidth-bound): per-field contiguous torus
+            # rolls + slice — packing measured ~2x slower at nc = 34
+            sl = (slice(cy0, None, 2), slice(cx0, None, 2))
+            stack = lambda a: jnp.concatenate(
+                [_roll2(a, dy, dx)[sl] for (dy, dx) in _NEIGH], axis=-1)
+            return (stack(cells["x"]), stack(cells["y"]),
+                    stack(cells["attr"]), stack(cells["occ"]))
+        return stack_nbhd
 
     def excl_centre(occ9, sel):
         """Occupancy with the (h, h, C) one-hot ``sel`` masked out of the
@@ -237,6 +272,7 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
                   * w)[None, :, None]
         act_y0 = ((jnp.arange(h, dtype=jnp.float32) * 2 + cy0)
                   * w)[:, None, None]
+        stack9 = make_stack_nbhd(cy0, cx0)
 
         def color_substep(cells, e_tot, key, sigma, beta):
             kpick, kprop, kacc = jax.random.split(key, 3)
@@ -265,7 +301,7 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
                      & (yn[..., 0] >= act_y0[..., 0] - d_cap)
                      & (yn[..., 0] < act_y0[..., 0] + w + d_cap))
 
-            xs9, ys9, as9, occ9 = stack_nbhd(cells, sl)
+            xs9, ys9, as9, occ9 = stack9(cells)
             ok9 = excl_centre(occ9, sel)
             d_e = (energy_at(xn, yn, ai, xs9, ys9, as9, ok9)
                    - energy_at(xi, yi, ai, xs9, ys9, as9, ok9))
@@ -284,6 +320,8 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
         return color_substep
 
     def make_color_swap(cy0, cx0):
+        stack9 = make_stack_nbhd(cy0, cx0)
+
         def swap_substep(cells, e_tot, key, sigma, beta):
             ki, kj, kacc = jax.random.split(key, 3)
             sl = (slice(cy0, None, 2), slice(cx0, None, 2))
@@ -306,7 +344,7 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
             xj, yj, aj = (pick(sel_j, cells["x"][sl]),
                           pick(sel_j, cells["y"][sl]), pick(sel_j, attr_a))
 
-            xs9, ys9, as9, occ9 = stack_nbhd(cells, sl)
+            xs9, ys9, as9, occ9 = stack9(cells)
             # exclude BOTH swappers: the i-j pair term is symmetric under
             # the exchange (eps/sig tables and sigma_ij are symmetric) and
             # cancels in dE

@@ -218,3 +218,35 @@ def test_engine_cell_mixed_pool():
         lambda s: lj.total_energy(s, PARAMS), st))
     np.testing.assert_allclose(np.asarray(st.energy), e_true, rtol=1e-5,
                                atol=1e-2)
+
+
+def test_pgmc_composes_with_cell_path():
+    """Hybrid advance + cell fast path: PGMC adapts sigma while Metropolis
+    runs cell-MC segments between estimator/update events."""
+    from montecarlo_tpu import policy_guided as pg
+    from montecarlo_tpu.core.simulation import _select_advance
+
+    N, M, steps = 512, 4, 24
+    chains = lj.init_chains(M, N, rho=1.0, beta=1.0, frac_b=0.2, seed=15,
+                            params=PARAMS)
+    pool = (lj.lj_displacement_move(0.05, params=PARAMS),)
+    sim = mc.Simulation(
+        lj.make_system(PARAMS), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=2, sweepstep=32,
+              fused="cell"),
+         dict(algorithm=pg.PolicyGradientEstimator,
+              dependencies=(mc.Metropolis,), optimisers=(pg.VPG(0.02),),
+              q_batch_size=1, scheduler=np.arange(4, steps + 1, 4)),
+         dict(algorithm=pg.PolicyGradientUpdate,
+              dependencies=(pg.PolicyGradientEstimator,),
+              scheduler=np.arange(8, steps + 1, 8))],
+        steps, path="/tmp/mctpu_cell_pgmc")
+    advance = _select_advance(sim)
+    assert "hybrid" in advance.__qualname__
+    assert sim.device_algos[0]._use_cell
+    sim.run()
+    sigma = float(jax.tree_util.tree_leaves(
+        sim.device_state["params"][0])[0])
+    assert sigma > 0.05 * 1.01   # VPG grew the too-small width
+    assert not bool(np.asarray(
+        sim.device_state["metropolis"]["cell_overflow"]))
