@@ -250,3 +250,39 @@ def test_pgmc_composes_with_cell_path():
     assert sigma > 0.05 * 1.01   # VPG grew the too-small width
     assert not bool(np.asarray(
         sim.device_state["metropolis"]["cell_overflow"]))
+
+
+def test_anchor_constraint_invariant():
+    """Correctness cornerstone: during a segment no particle ever leaves
+    its storage cell's +/- d_cap halo (this is what makes simultaneous
+    same-color moves independent and the 3x3 neighbourhood sufficient
+    without re-binning)."""
+    pe, rc2, _ = _closures()
+    st = lj.init_chains(2, 512, rho=1.0, beta=1.0, frac_b=0.2, seed=20,
+                        params=PARAMS)
+    box = float(st.box[0])
+    grid = cell_mc.plan_grid(512, box, rcut=2.5, d_cap=0.45)
+    # bind BEFORE the segment to know each particle's storage cell
+    cells0 = cell_mc.bind_cells(grid, st.pos[0],
+                                st.species[0].astype(jnp.float32))
+    pos1, _, _, _, _, _ = cell_mc.cell_mc_segment(
+        grid, pe, rc2, st.pos, st.species.astype(jnp.float32), st.beta,
+        st.energy, 0.3, jax.random.key(3), 500)   # big sigma stresses it
+    # chain 0: map each particle back to its storage cell via idx
+    idx = np.asarray(cells0["idx"]).reshape(grid.nc, grid.nc, grid.cap)
+    pos1_0 = np.asarray(pos1[0])
+    w = grid.w
+    for cy in range(grid.nc):
+        for cx in range(grid.nc):
+            for slot in range(grid.cap):
+                p = idx[cy, cx, slot]
+                if p >= 512:
+                    continue
+                x, y = pos1_0[p]
+                # compare in unwrapped cell coordinates (min-image to the
+                # cell centre handles the box wrap of edge cells)
+                ccx, ccy = (cx + 0.5) * w, (cy + 0.5) * w
+                dx = (x - ccx + box / 2) % box - box / 2
+                dy = (y - ccy + box / 2) % box - box / 2
+                assert abs(dx) <= w / 2 + grid.d_cap + 1e-5, (cy, cx, p, dx)
+                assert abs(dy) <= w / 2 + grid.d_cap + 1e-5, (cy, cx, p, dy)
