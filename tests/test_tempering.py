@@ -131,3 +131,37 @@ def test_replica_exchange_sharded_matches_single_device():
     x8, c8 = build(make_mesh(devices=devices))
     np.testing.assert_array_equal(x1, x8)
     np.testing.assert_array_equal(c1, c8)
+
+
+def test_replica_exchange_composes_with_fused_path(tmp_path):
+    """Hybrid advance generality: the sparse device algorithm between fused
+    segments can be ANY device algorithm, not just PGMC — here replica
+    exchange rides the fused Pallas (interpret) Gaussian sweep and the
+    per-beta marginals still come out right."""
+    from montecarlo_tpu.core.simulation import _select_advance
+
+    T = len(BETAS)
+    betas = mc.tile_ladder(BETAS, N_LADDERS)
+    chains = p1d.init_chains(T * N_LADDERS, beta=betas, seed=42)
+    steps, burn = 3000, 1000
+    sim = mc.Simulation(
+        p1d.make_system(), chains,
+        [dict(algorithm=mc.Metropolis,
+              pool=(p1d.displacement_move(sigma=1.0),), seed=42,
+              fused="interpret"),
+         dict(algorithm=mc.ReplicaExchange, n_temps=T, seed=5,
+              scheduler=mc.build_schedule(steps, 0, 4)),
+         dict(algorithm=mc.StoreCallbacks,
+              callbacks=[_make_var_callback(k, T) for k in range(T)],
+              scheduler=mc.build_schedule(steps, burn, 10))],
+        steps, path=str(tmp_path))
+    advance = _select_advance(sim)
+    assert "hybrid" in advance.__qualname__
+    sim.run()
+    for k, beta in enumerate(BETAS):
+        var = np.loadtxt(tmp_path / f"var{k}.dat")[:, 1].mean()
+        assert abs(var - 1 / (2 * beta)) < 0.12 / (2 * beta), (k, beta, var)
+    counters = np.asarray(
+        sim.device_state["replica_exchange"]["counters"])
+    rate = counters[:, 0] / counters[:, 1]
+    assert np.all(rate > 0.05), rate
