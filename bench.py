@@ -19,22 +19,31 @@ _HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "benchmarks", "history.json")
 
 
+def _round_key(tag):
+    """Numeric-aware ordering for round tags: r2 < r04 < r10 < any
+    non-numeric tag (lexicographic max would put 'r9' above 'r10')."""
+    suffix = tag[1:] if tag.startswith("r") else tag
+    return (0, int(suffix)) if suffix.isdigit() else (1, tag)
+
+
 def _compare_with_history(rate):
-    """Read the prior rounds' headline numbers, compute the ratio vs the most
-    recent one, and record this run (perf-regression bookkeeping; the CI gate
-    lives in tools/perf_gate.py)."""
+    """Read the prior rounds' headline numbers, compute the ratio vs the
+    most recent OTHER round (re-runs of the same tag never compare against
+    the value they overwrite), and record this run (perf-regression
+    bookkeeping; the CI gate lives in tools/perf_gate.py)."""
     try:
         with open(_HISTORY) as f:
             hist = json.load(f)
     except (OSError, ValueError):
         hist = {}
     rounds = hist.setdefault("headline_steps_per_sec", {})
-    prev = rounds[max(rounds)] if rounds else None
     tag = os.environ.get("BENCH_ROUND")
     if tag is None:
         n = max((int(k[1:]) for k in rounds if k[1:].isdigit()),
                 default=0)
         tag = f"r{n + 1:02d}"
+    prior = {k: v for k, v in rounds.items() if k != tag}
+    prev = prior[max(prior, key=_round_key)] if prior else None
     rounds[tag] = round(rate)
     try:
         with open(_HISTORY, "w") as f:

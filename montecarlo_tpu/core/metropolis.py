@@ -272,8 +272,19 @@ class Metropolis(DeviceAlgorithm):
         parallel per substep)."""
         self._cell_plan = None
         self._cell_model = None
+        self._cell_plan_error = None
+
+        def unsupported(reason):
+            # an EXPLICIT fused='cell' request must fail loudly instead of
+            # silently degrading to the ~100x-slower generic path
+            self._cell_plan_error = reason
+            if self.fused == "cell":
+                raise ValueError(f"fused='cell' requested but {reason}")
+
         if self._pos_dim not in (None, 2):
-            return
+            return unsupported(
+                f"the cell decomposition is 2-D only (state has "
+                f"{self._pos_dim}-D positions)")
         kinds = tuple(m.move.kind for m in self.pool)
         if kinds == ("lj_displacement_2d",):
             family, swap_mode, disp_idx, swap_idx = "lj", None, 0, None
@@ -288,10 +299,15 @@ class Metropolis(DeviceAlgorithm):
             disp_idx = kinds.index("poly_displacement_2d")
             swap_idx = kinds.index("poly_swap")
         else:
-            return
+            return unsupported(
+                f"the pool kinds {kinds} have no cell-MC mapping (need a "
+                f"single LJ/poly displacement move, optionally + the "
+                f"matching swap move)")
         if swap_idx is not None and (
                 self.pool[disp_idx].move.aux != self.pool[swap_idx].move.aux):
-            return  # two different interaction tables: no shared geometry
+            return unsupported(
+                "the displacement and swap moves carry different "
+                "interaction tables (no shared cell geometry)")
         try:
             state0 = sim.chains0
             box0 = float(np.asarray(state0.box).ravel()[0])
@@ -306,8 +322,15 @@ class Metropolis(DeviceAlgorithm):
             self._cell_model = (pe, rc2, family, swap_mode, disp_idx,
                                 swap_idx)
             self._cell_n = n_particles
-        except (ValueError, AttributeError):
+        except (ValueError, AttributeError) as e:
             self._cell_plan = None  # box too small / no geometry: row path
+            self._cell_plan_error = str(e)
+            if self.fused == "cell":
+                raise ValueError(
+                    f"fused='cell' requested but the cell decomposition "
+                    f"cannot be planned: {e}") from e
+            return
+        self._cell_plan_error = None
 
     @property
     def _use_cell(self) -> bool:
@@ -328,9 +351,27 @@ class Metropolis(DeviceAlgorithm):
         counters = jnp.zeros((self.n_chains, self.n_moves, 2), jnp.int32)
         slc = {"keys": keys, "counters": counters}
         if self._cell_plan is not None:
-            # latched flag: the static cell capacity was exceeded at a bind
+            # latched flag: a cell bind became invalid (capacity exceeded
+            # or box diverged from the static grid); checked on host by
+            # validate_state at the end of the run
             slc["cell_overflow"] = jnp.zeros((), bool)
         return slc
+
+    def validate_state(self, dstate):
+        """Host-side sanity check, called by ``Simulation.run`` after the
+        time loop: surface a latched invalid-cell-bind flag as an error
+        (the affected segments were skipped as no-ops, so the state is
+        uncorrupted but under-sampled)."""
+        slc = dstate.get(self.state_key, {})
+        flag = slc.get("cell_overflow")
+        if flag is not None and bool(jax.device_get(flag)):
+            raise RuntimeError(
+                "cell-MC bind became invalid during the run: a cell "
+                "exceeded its static capacity, or a chain's box diverged "
+                "from the planned grid (e.g. volume moves elsewhere in the "
+                "simulation).  The affected segments were skipped (no-op, "
+                "zero counters).  Enlarge plan_grid's cap_slack, or use "
+                "fused='off' for runs with dynamical geometry.")
 
     def init_params(self):
         """Initial replicated move parameters (tuple, one pytree per move)."""
@@ -374,6 +415,11 @@ class Metropolis(DeviceAlgorithm):
             return False
         if self.fused == "cell":
             return self._cell_plan is not None
+        if self._use_cell:
+            # cell MC is plain XLA — backend-agnostic, so 'auto' at large N
+            # engages it on CPU too (keeps supports_fused consistent with
+            # the _use_cell introspection on every backend)
+            return True
         if self._pos_dim not in (None, 2):
             return False  # Pallas particle kernels are 2-D
         if self.fused != "interpret" and jax.default_backend() != "tpu":
@@ -425,7 +471,8 @@ class Metropolis(DeviceAlgorithm):
                     else sys.diam)
             pos, attr_out, energy, att, acc, ovf = cell_mc_segment(
                 plan, pe, rc2, sys.pos, attr, sys.beta, sys.energy,
-                sigma, base, substeps, w_disp=w_disp, swap_mode=swap_mode)
+                sigma, base, substeps, w_disp=w_disp, swap_mode=swap_mode,
+                box=sys.box)
             if family == "lj":
                 new_sys = dataclasses.replace(
                     sys, pos=pos, species=attr_out.astype(sys.species.dtype),

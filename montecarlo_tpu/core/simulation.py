@@ -197,6 +197,10 @@ def run(simulation: Simulation):
         t_start = time.perf_counter()
         _execute(sim)
         jax.block_until_ready(sim.device_state)
+        for alg in sim.device_algos:
+            validate = getattr(alg, "validate_state", None)
+            if validate is not None:
+                validate(sim.device_state)
         sim_time = time.perf_counter() - t_start
         if sim.verbose:
             print(f"\nSimulation completed in {sim_time} s")

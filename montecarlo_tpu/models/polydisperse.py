@@ -344,15 +344,15 @@ def volume_move(dlnv: float, pressure: float, weight: float = 1.0,
     from .lennard_jones import UniformLogVolume
 
     def apply(state: PolyState, delta):
-        scale = jnp.exp(0.5 * delta)
+        n, d = state.pos.shape
+        scale = jnp.exp(delta / d)
         box_new = state.box * scale
         pos_new = state.pos * scale
         new_state0 = dataclasses.replace(state, pos=pos_new, box=box_new)
         e_new = total_energy(new_state0, params)
         d_e = e_new - state.energy
-        v_old = state.box * state.box
+        v_old = state.box ** d
         d_v = v_old * (jnp.exp(delta) - 1.0)
-        n = state.pos.shape[0]
         dlogp = (-state.beta * (d_e + pressure * d_v) + (n + 1) * delta)
         return dataclasses.replace(new_state0, energy=e_new), dlogp
 
@@ -372,8 +372,8 @@ def volume_move(dlnv: float, pressure: float, weight: float = 1.0,
 
 def callback_density(view):
     """Mean number density N / V over chains (NPT observable)."""
-    n = view.sys.pos.shape[-2]
-    v = view.sys.box * view.sys.box
+    n, d = view.sys.pos.shape[-2:]
+    v = view.sys.box ** d
     return jnp.mean(n / v)
 
 

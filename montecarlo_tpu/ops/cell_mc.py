@@ -393,7 +393,7 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
                               "swap_mode"))
 def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
                     energy, sigma, key, n_substeps, w_disp=1.0,
-                    swap_mode=None):
+                    swap_mode=None, box=None):
     """Run ``n_substeps`` checkerboard substeps on a CHAIN-STACKED state.
 
     Args:
@@ -408,16 +408,25 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
         None.
       swap_mode: None / "species" / "pair" (see :func:`_make_substep`).
 
-    Returns ``(pos', attr', energy', attempts, accepts, overflow)`` with
+    Returns ``(pos', attr', energy', attempts, accepts, invalid)`` with
     attempts/accepts (M, 2) int32 (column 0 displacement, column 1 swap)
-    and overflow (M,) bool (a True means the static cell capacity was
-    exceeded at bind time — enlarge ``cap``).
+    and invalid (M,) bool — True when the chain's bind was invalid (static
+    cell capacity exceeded, or ``box`` no longer matches the static grid).
+    Invalid chains pass through UNCHANGED (their segment is a no-op with
+    zero counters); the caller must surface the flag as an error.
     """
     m, n, _ = pos.shape
     substep = _make_substep(grid, pair_energy, rcut2_of, swap_mode)
 
     cells = jax.vmap(functools.partial(bind_cells, grid))(pos, attr)
-    overflow = cells.pop("overflow")            # (M,)
+    # a chain whose bind is invalid (cell capacity exceeded, or its box no
+    # longer matching the static grid — e.g. after a volume move elsewhere
+    # in the simulation) must NOT run: its segment becomes a no-op and the
+    # latched flag surfaces the failure to the host
+    # (Metropolis.validate_state raises at the end of the run)
+    invalid = cells.pop("overflow")             # (M,)
+    if box is not None:
+        invalid = invalid | (jnp.abs(box - grid.box) > 1e-4 * grid.box)
     chain_keys = jax.vmap(jax.random.fold_in, (None, 0))(
         key, jnp.arange(m, dtype=jnp.uint32))
 
@@ -449,4 +458,11 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
          jnp.zeros((m, 2), jnp.int32)))
     pos_out, attr_out = jax.vmap(lambda c: unbind_cells(c, n))(cells)
     pos_out = pos_out % grid.box
-    return pos_out, attr_out, e, att, acc, overflow
+    # invalid chains: whole segment is a no-op (their bind dropped
+    # particles), counters zeroed so the corruption cannot leak
+    pos_out = jnp.where(invalid[:, None, None], pos, pos_out)
+    attr_out = jnp.where(invalid[:, None], attr, attr_out)
+    e = jnp.where(invalid, energy, e)
+    att = jnp.where(invalid[:, None], 0, att)
+    acc = jnp.where(invalid[:, None], 0, acc)
+    return pos_out, attr_out, e, att, acc, invalid

@@ -286,3 +286,64 @@ def test_anchor_constraint_invariant():
                 dy = (y - ccy + box / 2) % box - box / 2
                 assert abs(dx) <= w / 2 + grid.d_cap + 1e-5, (cy, cx, p, dx)
                 assert abs(dy) <= w / 2 + grid.d_cap + 1e-5, (cy, cx, p, dy)
+
+
+def test_fused_cell_unplannable_raises():
+    """An explicit fused='cell' request must fail loudly when the cell
+    decomposition cannot be planned (here: box too small), not silently
+    degrade to the generic path."""
+    st = lj.init_chains(4, 32, rho=1.0, beta=1.0, seed=30, params=PARAMS)
+    pool = (lj.lj_displacement_move(0.1, params=PARAMS),)
+    with pytest.raises(ValueError, match="fused='cell'"):
+        mc.Simulation(
+            lj.make_system(PARAMS), st,
+            [dict(algorithm=mc.Metropolis, pool=pool, seed=1,
+                  fused="cell")],
+            4, path="/tmp/mctpu_cell_raise")
+
+
+def test_invalid_bind_is_noop_and_flagged():
+    """Capacity overflow / box mismatch: the chain's segment is a no-op
+    (state unchanged, zero counters) and the invalid flag is set — no
+    silent corruption (particles teleported to the origin)."""
+    pe, rc2, _ = _closures()
+    st = lj.init_chains(2, 512, rho=1.2, beta=1.0 / 0.45, seed=31,
+                        params=PARAMS)
+    box = float(st.box[0])
+    # capacity 8 << the ~32 mean occupancy: every chain's bind overflows
+    bad = cell_mc.CellGrid(nc=4, cap=8, box=box, d_cap=0.45)
+    pos, attr, e, att, acc, inv = cell_mc.cell_mc_segment(
+        bad, pe, rc2, st.pos, st.species.astype(jnp.float32), st.beta,
+        st.energy, 0.08, jax.random.key(0), 50)
+    assert bool(np.all(np.asarray(inv)))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(st.pos))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(st.energy))
+    np.testing.assert_array_equal(np.asarray(att), 0)
+
+    # box mismatch path: valid capacity but wrong per-chain box
+    good = cell_mc.plan_grid(512, box, rcut=2.5, d_cap=0.45)
+    pos2, _, _, att2, _, inv2 = cell_mc.cell_mc_segment(
+        good, pe, rc2, st.pos, st.species.astype(jnp.float32), st.beta,
+        st.energy, 0.08, jax.random.key(0), 50,
+        box=jnp.full((2,), box * 1.1, jnp.float32))
+    assert bool(np.all(np.asarray(inv2)))
+    np.testing.assert_array_equal(np.asarray(pos2), np.asarray(st.pos))
+
+
+def test_engine_surfaces_invalid_bind():
+    """Simulation.run raises when the cell path latched an invalid bind."""
+    st = lj.init_chains(2, 512, rho=1.2, beta=1.0 / 0.45, seed=32,
+                        params=PARAMS)
+    pool = (lj.lj_displacement_move(0.08, params=PARAMS),)
+    sim = mc.Simulation(
+        lj.make_system(PARAMS), st,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=1, sweepstep=16,
+              fused="cell")],
+        8, path="/tmp/mctpu_cell_invalid")
+    met = sim.device_algos[0]
+    # sabotage the plan with an undersized capacity to force overflow
+    met._cell_plan = cell_mc.CellGrid(
+        nc=met._cell_plan.nc, cap=8, box=met._cell_plan.box,
+        d_cap=met._cell_plan.d_cap)
+    with pytest.raises(RuntimeError, match="invalid"):
+        sim.run()

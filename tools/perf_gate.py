@@ -1,9 +1,14 @@
-"""Perf-regression gate: fail when the latest headline benchmark dropped
-more than ``TOL`` below the previous round's number.
+"""Perf-regression gate: fail when the latest RECORDED headline benchmark
+dropped more than ``TOL`` below the previous round's number.
 
-Reads ``benchmarks/history.json`` (written by ``bench.py``).  Wired into the
-nightly fullscale CI job so throughput drift between rounds is caught instead
-of silently accumulating (round 1 -> 3 drifted 19.76 -> 19.64 G unnoticed).
+Reads ``benchmarks/history.json`` (written by ``bench.py``, which runs on
+real TPU hardware — the round driver executes it every round).  The nightly
+CI job runs on CPU-only runners and therefore cannot re-measure; what it
+gates is the COMMITTED artifact: any on-chip bench run that lands a >TOL
+regression into history.json turns CI red instead of drifting silently
+(rounds 1 -> 3 drifted 19.76 -> 19.64 G with nothing tracking it).  Run
+this locally right after ``bench.py`` for the measuring version of the
+check.
 
 Usage: python tools/perf_gate.py [tolerance]   (default 0.05 = 5%)
 """
@@ -19,7 +24,14 @@ path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
 with open(path) as f:
     hist = json.load(f)
 rounds = hist.get("headline_steps_per_sec", {})
-tags = sorted(rounds)
+
+
+def _round_key(tag):
+    suffix = tag[1:] if tag.startswith("r") else tag
+    return (0, int(suffix)) if suffix.isdigit() else (1, tag)
+
+
+tags = sorted(rounds, key=_round_key)
 if len(tags) < 2:
     print(f"perf_gate: only {len(tags)} round(s) recorded, nothing to gate")
     sys.exit(0)
