@@ -107,33 +107,55 @@ def _sweep_kernel(potential, hw_prng, gridded, seed_ref, t0_ref, nsteps_ref,
     beta = beta_ref[:]
     shape = x_ref.shape
     pid = pl.program_id(0) if gridded else jnp.int32(0)
+    n_steps = nsteps_ref[0]
+    t0 = t0_ref[0]
+    t_end = t0 + n_steps
+    # pairs are aligned to ABSOLUTE micro-steps (2p, 2p+1), so trajectories
+    # stay invariant to how recorder schedules slice the run into segments
+    # — a segment starting mid-pair masks the pair's first half
+    p0 = t0 >> 1
+    n_pairs = jnp.where(n_steps > 0, ((t_end - 1) >> 1) - p0 + 1, 0)
 
-    def body(i, carry):
+    def body(j, carry):
+        """TWO MH steps per iteration: Box–Muller yields a PAIR of exact
+        independent standard normals (the cos and sin halves of the same
+        draws), so a double-step costs 4 PRNG blocks instead of 6 — the
+        kernel is PRNG-bound, making this a ~1.3x throughput lever."""
         x, acc = carry
-        # Re-seed per *absolute* timestep so trajectories are invariant to
-        # how the run is sliced into segments by recorder schedules (matches
-        # the counter-based fold_in(t) semantics of the generic path).  The
-        # chain-block index is folded in (pid = 0 when the population fits
-        # one block, keeping small-M streams unchanged).
+        p = p0 + j
+        # Re-seed per absolute pair index (counter-based, like the generic
+        # path's fold_in(t)); the chain-block index is folded in (pid = 0
+        # when the population fits one block).
         draw = make_draw(
             hw_prng,
-            _hash32(seed_ref[0] + t0_ref[0] + i) + pid * jnp.int32(1000003),
+            _hash32(seed_ref[0] + p) + pid * jnp.int32(1000003),
             shape)
         u1 = _uniform_from_bits(draw(0))
         u2 = _uniform_from_bits(draw(1))
         u3 = _uniform_from_bits(draw(2))
-        # Box–Muller: exact standard normal from two uniforms
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * jnp.pi) * u2)
-        xn = x + sigma * z
-        dlogp = beta * (potential(x) - potential(xn))
-        accept = jnp.log(u3) < dlogp
+        u4 = _uniform_from_bits(draw(3))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * jnp.pi) * u2
+        z1 = r * jnp.cos(theta)
+        z2 = r * jnp.sin(theta)
+
+        live1 = (2 * p >= t0) & (2 * p < t_end)
+        xn = x + sigma * z1
+        accept = live1 & (jnp.log(u3) < beta * (potential(x)
+                                                - potential(xn)))
+        x = jnp.where(accept, xn, x)
+        acc = acc + accept.astype(jnp.int32)
+
+        live2 = 2 * p + 1 < t_end
+        xn = x + sigma * z2
+        accept = live2 & (jnp.log(u4) < beta * (potential(x)
+                                                - potential(xn)))
         x = jnp.where(accept, xn, x)
         acc = acc + accept.astype(jnp.int32)
         return x, acc
 
     x, acc = jax.lax.fori_loop(
-        0, nsteps_ref[0], body,
-        (x_ref[:], jnp.zeros(shape, jnp.int32)))
+        0, n_pairs, body, (x_ref[:], jnp.zeros(shape, jnp.int32)))
     x_out[:] = x
     e_out[:] = potential(x)
     acc_out[:] = acc
