@@ -286,10 +286,14 @@ class Metropolis(DeviceAlgorithm):
                 f"the cell decomposition is 2-D only (state has "
                 f"{self._pos_dim}-D positions)")
         kinds = tuple(m.move.kind for m in self.pool)
+        proposal = "gaussian"
         if kinds == ("lj_displacement_2d",):
             family, swap_mode, disp_idx, swap_idx = "lj", None, 0, None
         elif kinds == ("poly_displacement_2d",):
             family, swap_mode, disp_idx, swap_idx = "poly", None, 0, None
+        elif kinds == ("hard_disk_displacement_2d",):
+            family, swap_mode, disp_idx, swap_idx = "hd", None, 0, None
+            proposal = "square"    # hard-disk pools propose uniform squares
         elif set(kinds) == {"lj_displacement_2d", "lj_swap"}:
             family, swap_mode = "lj", "species"
             disp_idx = kinds.index("lj_displacement_2d")
@@ -314,13 +318,19 @@ class Metropolis(DeviceAlgorithm):
             n_particles = int(state0.pos.shape[-2])
             if family == "lj":
                 from ..models.lennard_jones import cell_closures
-            else:
+                pe, rc2, rcut_max = cell_closures(
+                    self.pool[disp_idx].move.aux)
+            elif family == "poly":
                 from ..models.polydisperse import cell_closures
-            pe, rc2, rcut_max = cell_closures(self.pool[disp_idx].move.aux)
+                pe, rc2, rcut_max = cell_closures(
+                    self.pool[disp_idx].move.aux)
+            else:
+                from ..models.hard_disks import cell_closures
+                pe, rc2, rcut_max = cell_closures()
             from ..ops.cell_mc import plan_grid
             self._cell_plan = plan_grid(n_particles, box0, rcut_max)
             self._cell_model = (pe, rc2, family, swap_mode, disp_idx,
-                                swap_idx)
+                                swap_idx, proposal)
             self._cell_n = n_particles
         except (ValueError, AttributeError) as e:
             self._cell_plan = None  # box too small / no geometry: row path
@@ -459,7 +469,8 @@ class Metropolis(DeviceAlgorithm):
         if self._use_cell:           # checkerboard cell MC (large N)
             from ..ops.cell_mc import cell_mc_segment
             plan = self._cell_plan
-            pe, rc2, family, swap_mode, disp_idx, swap_idx = self._cell_model
+            (pe, rc2, family, swap_mode, disp_idx, swap_idx,
+             proposal) = self._cell_model
             sigma = jax.tree_util.tree_leaves(params[disp_idx])[0]
             w_disp = (1.0 if swap_idx is None else
                       float(self.weights[disp_idx] / self.weights.sum()))
@@ -467,19 +478,30 @@ class Metropolis(DeviceAlgorithm):
             substeps = (total + per_substep - 1) // per_substep
             base = jax.random.fold_in(jax.random.key(self.seed),
                                       micro_t0.astype(jnp.uint32))
-            attr = (sys.species.astype(jnp.float32) if family == "lj"
-                    else sys.diam)
+            if family == "lj":
+                attr = sys.species.astype(jnp.float32)
+            elif family == "poly":
+                attr = sys.diam
+            else:                    # hard disks: no attributes, no energy
+                attr = jnp.zeros(sys.pos.shape[:-1], jnp.float32)
+            n_chains = sys.pos.shape[0]
+            beta_in = (sys.beta if hasattr(sys, "beta")
+                       else jnp.ones((n_chains,), jnp.float32))
+            energy_in = (sys.energy if hasattr(sys, "energy")
+                         else jnp.zeros((n_chains,), jnp.float32))
             pos, attr_out, energy, att, acc, ovf = cell_mc_segment(
-                plan, pe, rc2, sys.pos, attr, sys.beta, sys.energy,
+                plan, pe, rc2, sys.pos, attr, beta_in, energy_in,
                 sigma, base, substeps, w_disp=w_disp, swap_mode=swap_mode,
-                box=sys.box)
+                box=sys.box, proposal=proposal)
             if family == "lj":
                 new_sys = dataclasses.replace(
                     sys, pos=pos, species=attr_out.astype(sys.species.dtype),
                     energy=energy)
-            else:
+            elif family == "poly":
                 new_sys = dataclasses.replace(
                     sys, pos=pos, diam=attr_out, energy=energy)
+            else:
+                new_sys = dataclasses.replace(sys, pos=pos)
             inc = jnp.zeros_like(slc["counters"])
             inc = inc.at[:, disp_idx, 0].add(acc[:, 0])
             inc = inc.at[:, disp_idx, 1].add(att[:, 0])

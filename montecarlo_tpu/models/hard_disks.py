@@ -49,6 +49,7 @@ __all__ = [
     "callback_min_distance",
     "psi6",
     "callback_psi6",
+    "cell_closures",
 ]
 
 _DIAM = 1.0          # disk diameter (unit of length)
@@ -113,9 +114,27 @@ def _pair_dist2(state: HardDiskState):
     return jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
 
 
-def min_pair_distance(state: HardDiskState):
-    """Minimum min-image center distance over all pairs (one chain)."""
-    return jnp.sqrt(jnp.min(_pair_dist2(state)))
+def min_pair_distance(state: HardDiskState, row_batch: int = None):
+    """Minimum min-image center distance over all pairs (one chain).
+
+    ``row_batch`` bounds peak memory to ``row_batch x N`` pair terms; the
+    dense path materialises the full (N, N) matrix.  Auto-batches beyond
+    N = 1024 (vmapped over chains the dense form OOMs at melting sizes).
+    """
+    n = state.pos.shape[0]
+    if row_batch is None and n > 1024:
+        row_batch = 256
+    if row_batch is None or row_batch >= n:
+        return jnp.sqrt(jnp.min(_pair_dist2(state)))
+
+    def row_min(i):
+        d = state.pos - state.pos[i]
+        d = d - state.box * jnp.round(d / state.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        return jnp.min(jnp.where(jnp.arange(n) == i, jnp.inf, r2))
+
+    return jnp.sqrt(jnp.min(jax.lax.map(
+        row_min, jnp.arange(n), batch_size=row_batch)))
 
 
 def overlap_free(state: HardDiskState, tol: float = 1e-5):
@@ -127,31 +146,69 @@ def callback_min_distance(view):
     return jnp.mean(jax.vmap(min_pair_distance)(view.sys))
 
 
-def psi6(state: HardDiskState, r_nbr: float = 1.4):
+def psi6(state: HardDiskState, r_nbr: float = 1.4, row_batch: int = None):
     """Global bond-orientational order |<psi6>| of ONE chain.
 
     ``psi6_j = mean_k exp(6 i theta_jk)`` over neighbours within ``r_nbr``;
     returns ``|mean_j psi6_j|`` — the standard slow observable of the 2-D
     hard-disk melting problem (Bernard & Krauth 2011), used for the
     ECMC-vs-Metropolis autocorrelation benchmark (``tools/bench_ecmc.py``).
+
+    ``row_batch`` bounds peak memory to ``row_batch x N`` pair terms (the
+    dense path materialises (N, N, 2) displacements — vmapped over chains
+    that OOMs at melting-problem sizes).
     """
-    d = state.pos[:, None, :] - state.pos[None, :, :]
-    d = d - state.box * jnp.round(d / state.box)
-    r2 = jnp.sum(d * d, axis=-1)
     n = state.pos.shape[0]
-    nbr = (r2 < r_nbr * r_nbr) & ~jnp.eye(n, dtype=bool)
-    theta = jnp.arctan2(d[..., 1], d[..., 0])
-    c = jnp.where(nbr, jnp.cos(6.0 * theta), 0.0)
-    s = jnp.where(nbr, jnp.sin(6.0 * theta), 0.0)
-    cnt = jnp.maximum(jnp.sum(nbr, axis=1), 1)
-    pj_c = jnp.sum(c, axis=1) / cnt
-    pj_s = jnp.sum(s, axis=1) / cnt
+
+    def rows_psi(pos_rows):
+        d = pos_rows[:, None, :] - state.pos[None, :, :]
+        d = d - state.box * jnp.round(d / state.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        # self-pairs have r2 == 0 exactly; exclude them by distance
+        nbr = (r2 < r_nbr * r_nbr) & (r2 > 1e-12)
+        theta = jnp.arctan2(d[..., 1], d[..., 0])
+        c = jnp.where(nbr, jnp.cos(6.0 * theta), 0.0)
+        s = jnp.where(nbr, jnp.sin(6.0 * theta), 0.0)
+        cnt = jnp.maximum(jnp.sum(nbr, axis=1), 1)
+        return (jnp.sum(c, axis=1) / cnt, jnp.sum(s, axis=1) / cnt)
+
+    if row_batch is None or row_batch >= n:
+        pj_c, pj_s = rows_psi(state.pos)
+    else:
+        pj_c, pj_s = jax.lax.map(
+            lambda i: jax.tree_util.tree_map(
+                lambda a: a[0], rows_psi(state.pos[i][None])),
+            jnp.arange(n), batch_size=row_batch)
     return jnp.sqrt(jnp.mean(pj_c) ** 2 + jnp.mean(pj_s) ** 2)
 
 
 def callback_psi6(view):
-    """Chain-mean |psi6| (slow orientational observable)."""
-    return jnp.mean(jax.vmap(psi6)(view.sys))
+    """Chain-mean |psi6| (slow orientational observable; row-batched at
+    melting-problem sizes to stay within HBM)."""
+    n = view.sys.pos.shape[-2]
+    rb = None if n <= 1024 else 256
+    return jnp.mean(jax.vmap(lambda s: psi6(s, row_batch=rb))(view.sys))
+
+
+def cell_closures():
+    """Static (pair_energy, rcut2_of, rcut_max) closures for the
+    checkerboard cell-MC path (``ops/cell_mc.py``).
+
+    A hard core as a finite energy wall: any neighbour inside the diameter
+    contributes ``1e30`` (finite, so dE arithmetic never produces NaN; at
+    most ~10^2 overlaps x 1e30 stays far below float32 max), making the
+    acceptance exactly accept-iff-overlap-free — dE = 0 for a legal move,
+    ~1e30 otherwise.  The current configuration is overlap-free, so
+    ``e_old`` is always 0.  Attributes are unused (pass zeros).
+    """
+
+    def pair_energy(r2, a_i, a_j):
+        return jnp.full_like(r2, 1e30)
+
+    def rcut2_of(a_i, a_j):
+        return _DIAM * _DIAM
+
+    return pair_energy, rcut2_of, _DIAM
 
 
 # -- Metropolis displacement move ------------------------------------------

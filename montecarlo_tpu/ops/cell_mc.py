@@ -163,7 +163,8 @@ def _roll2(a, dy, dx):
 # The substep
 # ---------------------------------------------------------------------------
 
-def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
+def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None,
+                  proposal="gaussian"):
     """Build the one-color multi-move MH substep for ONE chain.
 
     ``pair_energy(r2, a_i, a_j) -> u`` and ``rcut2_of(a_i, a_j) -> rc^2``
@@ -289,7 +290,13 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
                                      keepdims=True)
             xi, yi, ai = pick(x_a), pick(y_a), pick(cells["attr"][sl])
 
-            delta = sigma * jax.random.normal(kprop, (h, h, 2))
+            if proposal == "square":
+                # uniform square displacement (hard-disk convention) —
+                # symmetric, so the MH ratio is unchanged
+                delta = sigma * jax.random.uniform(
+                    kprop, (h, h, 2), minval=-1.0, maxval=1.0)
+            else:
+                delta = sigma * jax.random.normal(kprop, (h, h, 2))
             xn = xi + delta[..., 0:1]
             yn = yi + delta[..., 1:2]
             # anchor constraint: the new position must stay inside the
@@ -390,10 +397,10 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None):
 
 @functools.partial(
     jax.jit, static_argnames=("grid", "pair_energy", "rcut2_of",
-                              "swap_mode"))
+                              "swap_mode", "proposal"))
 def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
                     energy, sigma, key, n_substeps, w_disp=1.0,
-                    swap_mode=None, box=None):
+                    swap_mode=None, box=None, proposal="gaussian"):
     """Run ``n_substeps`` checkerboard substeps on a CHAIN-STACKED state.
 
     Args:
@@ -416,7 +423,8 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
     zero counters); the caller must surface the flag as an error.
     """
     m, n, _ = pos.shape
-    substep = _make_substep(grid, pair_energy, rcut2_of, swap_mode)
+    substep = _make_substep(grid, pair_energy, rcut2_of, swap_mode,
+                            proposal)
 
     cells = jax.vmap(functools.partial(bind_cells, grid))(pos, attr)
     # a chain whose bind is invalid (cell capacity exceeded, or its box no

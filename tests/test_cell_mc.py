@@ -347,3 +347,34 @@ def test_engine_surfaces_invalid_bind():
         d_cap=met._cell_plan.d_cap)
     with pytest.raises(RuntimeError, match="invalid"):
         sim.run()
+
+
+def test_hard_disk_cell_path():
+    """Hard disks through the cell path: accept-iff-overlap-free via the
+    finite energy wall, overlap-free invariant preserved, uniform-square
+    proposal matching the pool's convention."""
+    from montecarlo_tpu.models import hard_disks as hd
+
+    N, M, steps = 2048, 4, 30
+    chains = hd.init_chains(M, N, eta=0.70, seed=40)
+    pool = (hd.displacement_move(0.12),)
+    sim = mc.Simulation(
+        hd.make_system(), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=5, sweepstep=128,
+              fused="cell"),
+         dict(algorithm=mc.StoreCallbacks, callbacks=(hd.callback_psi6,),
+              scheduler=np.arange(10, steps + 1, 10))],
+        steps, path="/tmp/mctpu_hd_cell")
+    met = sim.device_algos[0]
+    assert met._use_cell and met._cell_model[2] == "hd"
+    assert met._cell_model[6] == "square"
+    sim.run()
+    slc = sim.device_state["metropolis"]
+    assert not bool(np.asarray(slc["cell_overflow"]))
+    cnt = np.asarray(slc["counters"])
+    rate = cnt[:, 0, 0].sum() / cnt[:, 0, 1].sum()
+    assert 0.1 < rate < 0.99, rate
+    ok = np.asarray(jax.vmap(hd.overlap_free)(sim.device_state["sys"]))
+    assert ok.all(), "cell path produced hard-core overlaps"
+    p6 = np.loadtxt("/tmp/mctpu_hd_cell/psi6.dat")
+    assert np.all((p6[:, 1] >= 0) & (p6[:, 1] <= 1))
