@@ -263,6 +263,7 @@ class Metropolis(DeviceAlgorithm):
         # systems): every fused/cell fast path is 2-D only
         pos0 = getattr(sim.chains0, "pos", None)
         self._pos_dim = None if pos0 is None else int(pos0.shape[-1])
+        self._sim = sim
         self._plan_cell_mc(sim)
 
     def _plan_cell_mc(self, sim):
@@ -347,10 +348,19 @@ class Metropolis(DeviceAlgorithm):
         if self._cell_plan is None:
             return False
         if self.fused == "cell":
-            return True
+            return True   # explicit opt-in (validate_state surfaces misuse)
         # auto: the row kernel's O(N) per-move cost overtakes the cell
-        # path's O(9C) around N ~ 2k at liquid densities
-        return self.fused == "auto" and self._cell_n >= 2048
+        # path's O(9C) around N ~ 2k at liquid densities — but never when
+        # ANY algorithm in the simulation carries volume moves (a box
+        # change invalidates the static cell grid; the generic path
+        # samples NPT correctly)
+        if self.fused != "auto" or self._cell_n < 2048:
+            return False
+        for alg in self._sim.algorithms:
+            for move in getattr(alg, "pool", ()):
+                if "volume" in move.move.kind:
+                    return False
+        return True
 
     # -- device-state slice ------------------------------------------------
     def init_state(self, sim):
@@ -603,6 +613,13 @@ class Metropolis(DeviceAlgorithm):
         io.write(f"\t\tSeed: {self.seed}\n")
         io.write(f"\t\tParallel: {jax.device_count() > 1}\n")
         io.write(f"\t\tDevices: {jax.device_count()}\n")
+        if self._use_cell:
+            io.write(f"\t\tCell MC: enabled ({self._cell_plan!r})\n")
+        elif self._pos_dim is not None and self._cell_plan_error is not None:
+            # particle system without a cell plan: record why, so a user on
+            # the generic fallback can see what kept auto-cell off
+            io.write(f"\t\tCell MC: unavailable — "
+                     f"{self._cell_plan_error}\n")
         io.write("\t\tMoves:\n")
         for k, move in enumerate(self.pool):
             io.write(f"\t\t\tMove {k + 1}:\n")

@@ -392,6 +392,15 @@ def _execute(sim: Simulation):
 
     advance_j = jax.jit(advance_r)
 
+    def check_state(ds):
+        # surface latched device-side failure flags (e.g. an invalid cell
+        # bind) at every host sync point — failing within one recorder
+        # period instead of at the end of a long run
+        for a in sim.device_algos:
+            validate = getattr(a, "validate_state", None)
+            if validate is not None:
+                validate(ds)
+
     masks = []
     for a in sim.device_algos:
         i = sim.algorithms.index(a)
@@ -485,6 +494,7 @@ def _execute(sim: Simulation):
                 first_dt = times[pos] - sim.t
                 ds, bufs = run_chunk(ds, masks, first_dt,
                                      stride if stride else 1, n)
+                check_state(ds)
                 vals = jax.device_get(bufs)
                 ts = times[pos:pos + n]
                 for r, v in zip(recs, vals):
@@ -498,6 +508,7 @@ def _execute(sim: Simulation):
             for t in times:
                 if t > sim.t:
                     ds = advance_j(ds, masks, t - sim.t)
+                    check_state(ds)
                     sim.t = t
                     sim.device_state = ds
                 if obs_ids:

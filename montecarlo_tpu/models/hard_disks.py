@@ -156,9 +156,12 @@ def psi6(state: HardDiskState, r_nbr: float = 1.4, row_batch: int = None):
 
     ``row_batch`` bounds peak memory to ``row_batch x N`` pair terms (the
     dense path materialises (N, N, 2) displacements — vmapped over chains
-    that OOMs at melting-problem sizes).
+    that OOMs at melting-problem sizes); auto-batches beyond N = 1024 like
+    :func:`min_pair_distance`, so every caller is safe by default.
     """
     n = state.pos.shape[0]
+    if row_batch is None and n > 1024:
+        row_batch = 256
 
     def rows_psi(pos_rows):
         d = pos_rows[:, None, :] - state.pos[None, :, :]
@@ -183,27 +186,28 @@ def psi6(state: HardDiskState, r_nbr: float = 1.4, row_batch: int = None):
 
 
 def callback_psi6(view):
-    """Chain-mean |psi6| (slow orientational observable; row-batched at
-    melting-problem sizes to stay within HBM)."""
-    n = view.sys.pos.shape[-2]
-    rb = None if n <= 1024 else 256
-    return jnp.mean(jax.vmap(lambda s: psi6(s, row_batch=rb))(view.sys))
+    """Chain-mean |psi6| (slow orientational observable; auto-row-batched
+    at melting-problem sizes to stay within HBM)."""
+    return jnp.mean(jax.vmap(psi6)(view.sys))
 
 
 def cell_closures():
     """Static (pair_energy, rcut2_of, rcut_max) closures for the
     checkerboard cell-MC path (``ops/cell_mc.py``).
 
-    A hard core as a finite energy wall: any neighbour inside the diameter
-    contributes ``1e30`` (finite, so dE arithmetic never produces NaN; at
-    most ~10^2 overlaps x 1e30 stays far below float32 max), making the
-    acceptance exactly accept-iff-overlap-free — dE = 0 for a legal move,
-    ~1e30 otherwise.  The current configuration is overlap-free, so
-    ``e_old`` is always 0.  Attributes are unused (pass zeros).
+    A hard core as an INFINITE energy wall: any neighbour inside the
+    diameter contributes ``+inf``, so an overlapping proposal has
+    ``-beta dE = -inf`` and ``log(u) < -inf`` is False for EVERY uniform
+    draw — including the exact-0.0 draw whose ``log`` is also ``-inf`` (a
+    finite wall like 1e30 would accept there, breaking the hard core about
+    once per 2^23 attempts).  No NaNs arise: the current configuration is
+    overlap-free so ``e_old`` is always exactly 0, never inf, and rejected
+    infinities are discarded by the accept select before touching the
+    energy accumulator.  Attributes are unused (pass zeros).
     """
 
     def pair_energy(r2, a_i, a_j):
-        return jnp.full_like(r2, 1e30)
+        return jnp.full_like(r2, jnp.inf)
 
     def rcut2_of(a_i, a_j):
         return _DIAM * _DIAM

@@ -378,3 +378,30 @@ def test_hard_disk_cell_path():
     assert ok.all(), "cell path produced hard-core overlaps"
     p6 = np.loadtxt("/tmp/mctpu_hd_cell/psi6.dat")
     assert np.all((p6[:, 1] >= 0) & (p6[:, 1] <= 1))
+
+
+def test_auto_cell_disabled_with_volume_moves():
+    """fused='auto' never engages the static-grid cell path when ANY
+    algorithm in the simulation carries volume moves — the generic path
+    samples NPT correctly, a frozen grid cannot."""
+    N, M = 2048, 2
+    chains = lj.init_chains(M, N, rho=0.7, beta=1.0, seed=41,
+                            params=PARAMS)
+    pool = (lj.lj_displacement_move(0.1, weight=0.95, params=PARAMS),
+            lj.lj_volume_move(dlnv=0.02, pressure=1.0, weight=0.05,
+                              params=PARAMS))
+    sim = mc.Simulation(
+        lj.make_system(PARAMS), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=1)],
+        4, path="/tmp/mctpu_cell_vol")
+    met = sim.device_algos[0]
+    assert not met._use_cell and not met.supports_fused
+
+    # displacement-only pool at the same N: auto-cell engages
+    sim2 = mc.Simulation(
+        lj.make_system(PARAMS), chains,
+        [dict(algorithm=mc.Metropolis,
+              pool=(lj.lj_displacement_move(0.1, params=PARAMS),),
+              seed=1)],
+        4, path="/tmp/mctpu_cell_vol2")
+    assert sim2.device_algos[0]._use_cell

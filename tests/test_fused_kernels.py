@@ -93,13 +93,18 @@ def test_gaussian_kernel_segmentation_invariance():
     trajectory)."""
     x0 = jnp.zeros((M,), jnp.float32)
     xa, ea, acca = _run_gauss(x0, 1200)
-    xb, accb = x0, jnp.zeros((M,), jnp.int32)
-    for k, n in enumerate((300, 500, 400)):
-        t0 = (300, 800)[k - 1] if k else 0
-        xb, eb, a = _run_gauss(xb, n, t0=t0)
-        accb = accb + a
-    assert np.array_equal(np.asarray(xa), np.asarray(xb))
-    assert np.array_equal(np.asarray(acca), np.asarray(accb))
+    # ODD segment boundaries (301, 800) exercise the mid-pair masking of
+    # the paired Box-Muller double-step (a segment starting or ending
+    # mid-pair must mask exactly one half)
+    for splits in ((300, 500, 400), (301, 499, 400), (301, 500, 399)):
+        xb, accb = x0, jnp.zeros((M,), jnp.int32)
+        t0 = 0
+        for n in splits:
+            xb, eb, a = _run_gauss(xb, n, t0=t0)
+            accb = accb + a
+            t0 += n
+        assert np.array_equal(np.asarray(xa), np.asarray(xb)), splits
+        assert np.array_equal(np.asarray(acca), np.asarray(accb)), splits
 
 
 def test_gaussian_kernel_counter_semantics():

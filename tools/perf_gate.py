@@ -21,16 +21,13 @@ TOL = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
 path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                     "benchmarks", "history.json")
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+from bench import _round_key  # noqa: E402  (single source of tag ordering)
+
 with open(path) as f:
     hist = json.load(f)
 rounds = hist.get("headline_steps_per_sec", {})
-
-
-def _round_key(tag):
-    suffix = tag[1:] if tag.startswith("r") else tag
-    return (0, int(suffix)) if suffix.isdigit() else (1, tag)
-
-
 tags = sorted(rounds, key=_round_key)
 if len(tags) < 2:
     print(f"perf_gate: only {len(tags)} round(s) recorded, nothing to gate")
