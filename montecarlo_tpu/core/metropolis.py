@@ -329,6 +329,9 @@ class Metropolis(DeviceAlgorithm):
                 from ..models.hard_disks import cell_closures
                 pe, rc2, rcut_max = cell_closures()
             from ..ops.cell_mc import plan_grid
+            # fixed 0.45 halo: measured better than sizing it to ~3 sigma
+            # (a tighter halo buys a slightly finer grid but loses more to
+            # anchor rejections — acc 0.17 -> 0.14 at sigma 0.08, N=4096)
             self._cell_plan = plan_grid(n_particles, box0, rcut_max)
             self._cell_model = (pe, rc2, family, swap_mode, disp_idx,
                                 swap_idx, proposal)
