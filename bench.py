@@ -3,9 +3,18 @@
 BASELINE.json target: >100M Metropolis steps/s/chip.  Prints ONE JSON line.
 
 The measured path is the production engine path: the fused compiled time loop
-(`_make_advance`) the Simulation orchestrator runs between sync points —
+(`_select_advance`) the Simulation orchestrator runs between sync points —
 not a stripped-down kernel.  A scalar readback forces device sync
 (block_until_ready does not reliably block on the axon tunnel backend).
+
+Variance discipline (VERDICT r4): the work unit is sized to ~1.5 s on chip
+so timer/tunnel jitter is amortised, the reported rate is the MEDIAN of
+``repeats`` runs, and the JSON carries the relative spread so a regression
+can be told from noise.  History bookkeeping: an explicitly tagged run
+(``BENCH_ROUND=rNN``) records under that round key; an UNTAGGED run (e.g.
+the driver's capture) overwrites the single ``latest`` slot instead of
+minting a new round key (round 4's untagged driver run polluted the history
+with a spurious ``r05`` entry).
 """
 
 import json
@@ -26,23 +35,23 @@ def _round_key(tag):
     return (0, int(suffix)) if suffix.isdigit() else (1, tag)
 
 
+def _is_round(tag):
+    return tag.startswith("r") and tag[1:].isdigit()
+
+
 def _compare_with_history(rate):
     """Read the prior rounds' headline numbers, compute the ratio vs the
-    most recent OTHER round (re-runs of the same tag never compare against
-    the value they overwrite), and record this run (perf-regression
-    bookkeeping; the CI gate lives in tools/perf_gate.py)."""
+    most recent NUMERIC round other than this run's tag (re-runs of the
+    same tag never compare against the value they overwrite; the 'latest'
+    scratch slot never serves as a baseline), and record this run."""
     try:
         with open(_HISTORY) as f:
             hist = json.load(f)
     except (OSError, ValueError):
         hist = {}
     rounds = hist.setdefault("headline_steps_per_sec", {})
-    tag = os.environ.get("BENCH_ROUND")
-    if tag is None:
-        n = max((int(k[1:]) for k in rounds if k[1:].isdigit()),
-                default=0)
-        tag = f"r{n + 1:02d}"
-    prior = {k: v for k, v in rounds.items() if k != tag}
+    tag = os.environ.get("BENCH_ROUND", "latest")
+    prior = {k: v for k, v in rounds.items() if k != tag and _is_round(k)}
     prev = prior[max(prior, key=_round_key)] if prior else None
     rounds[tag] = round(rate)
     try:
@@ -53,7 +62,7 @@ def _compare_with_history(rate):
     return (rate / prev) if prev else None
 
 
-def bench_metropolis(n_chains=10_000, n_steps=500_000, repeats=3):
+def bench_metropolis(n_chains=10_000, n_steps=4_000_000, repeats=5):
     import montecarlo_tpu as mc
     from montecarlo_tpu.core.simulation import _select_advance
     from montecarlo_tpu.models import particle1d as p1d
@@ -64,6 +73,7 @@ def bench_metropolis(n_chains=10_000, n_steps=500_000, repeats=3):
     sim = mc.Simulation(system, chains,
                         [dict(algorithm=mc.Metropolis, pool=pool, seed=42)],
                         n_steps, path="/tmp/mctpu_bench")
+    from montecarlo_tpu.utils.observability import device_sync
     ds = sim.init_device_state()
     masks = tuple(jnp.ones(n_steps + 1, bool) for _ in sim.device_algos)
     # production path: fused Pallas segment kernel when eligible
@@ -71,19 +81,22 @@ def bench_metropolis(n_chains=10_000, n_steps=500_000, repeats=3):
 
     # compile + warm
     out = advance(ds, masks, n_steps)
-    float(out["sys"].x.sum())
+    device_sync(out)
 
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = advance(ds, masks, n_steps)
-        float(out["sys"].x.sum())  # force sync
-        best = min(best, time.perf_counter() - t0)
-    return n_chains * n_steps / best
+        device_sync(out)  # scalar readback (axon block_until_ready caveat)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+    spread = (times[-1] - times[0]) / median
+    return n_chains * n_steps / median, spread
 
 
 def main():
-    rate = bench_metropolis()
+    rate, spread = bench_metropolis()
     baseline = 100e6  # BASELINE.json: >100M Metropolis steps/s/chip
     vs_prev = _compare_with_history(rate)
     out = {
@@ -91,6 +104,7 @@ def main():
         "value": round(rate),
         "unit": "steps/s",
         "vs_baseline": round(rate / baseline, 3),
+        "spread": round(spread, 4),
     }
     if vs_prev is not None:
         out["vs_prev_round"] = round(vs_prev, 4)

@@ -18,7 +18,8 @@ from .core.metropolis import (Metropolis, StoreParameters, callback_acceptance,
                               mc_step, mc_sweep)
 from .core.algorithms import (Algorithm, DeviceAlgorithm, HostAlgorithm,
                               ObservableRecorder, SimView, Format, TXT, DAT,
-                              StoreCallbacks, StoreTrajectories,
+                              BIN, StoreCallbacks, StoreTrajectories,
+                              load_chain_major_trajectories,
                               StoreLastFrames, StoreBackups, PrintTimeSteps)
 from .core.simulation import Simulation, build_schedule, run
 from .core.tempering import ReplicaExchange, callback_swap_rate, tile_ladder
@@ -40,8 +41,9 @@ __all__ = [
     "Metropolis", "StoreParameters", "callback_acceptance",
     "mc_step", "mc_sweep",
     "Algorithm", "DeviceAlgorithm", "HostAlgorithm", "ObservableRecorder",
-    "SimView", "Format", "TXT", "DAT",
-    "StoreCallbacks", "StoreTrajectories", "StoreLastFrames", "StoreBackups",
+    "SimView", "Format", "TXT", "DAT", "BIN",
+    "StoreCallbacks", "StoreTrajectories", "load_chain_major_trajectories",
+    "StoreLastFrames", "StoreBackups",
     "PrintTimeSteps",
     "Simulation", "build_schedule", "run",
     "ReplicaExchange", "tile_ladder", "callback_swap_rate",

@@ -47,8 +47,10 @@ __all__ = [
     "Format",
     "TXT",
     "DAT",
+    "BIN",
     "StoreCallbacks",
     "StoreTrajectories",
+    "load_chain_major_trajectories",
     "StoreLastFrames",
     "StoreBackups",
     "PrintTimeSteps",
@@ -153,6 +155,22 @@ class DAT(Format):
     extension = ".dat"
 
 
+class BIN(Format):
+    """Chain-major consolidated binary trajectory layout.
+
+    The reference's one-text-file-per-chain layout
+    (``src/algorithms.jl:154-210``) is faithful at M ~ 10^2 but impossible
+    at the engine's flagship chain counts (10^4—10^6 chains: fd limits,
+    10^8+ formatted writes).  ``StoreTrajectories(fmt=BIN())`` instead
+    appends each buffered chunk as raw C-order records to ONE file per
+    frame field — ``trajectories/<field>.bin`` with a leading (time, chain)
+    axis pair — plus ``trajectories/index.json`` (dtype/shape/times
+    manifest) at finalise.  Read back with
+    :func:`load_chain_major_trajectories` (zero-copy ``np.memmap``)."""
+
+    extension = ".bin"
+
+
 def _fmt_scalar(v) -> str:
     """Format a scalar the way Julia prints floats (shortest round-trip)."""
     v = np.asarray(v)
@@ -229,6 +247,10 @@ class StoreTrajectories(ObservableRecorder):
     The per-chain line format comes from the system's ``format_frame`` hook,
     the analogue of overriding ``store_trajectory``
     (``example/particle_1d/particle_1d.jl:63-66``).
+
+    ``fmt=BIN()`` switches to the chain-major consolidated layout (see
+    :class:`BIN`) — the scalable store for 10^4+ chains, where a file per
+    chain is impossible.
     """
 
     def __init__(self, sim, fmt: Format = DAT(), store_first: bool = True,
@@ -237,6 +259,14 @@ class StoreTrajectories(ObservableRecorder):
         self.store_first = store_first
         self.store_last = store_last
         self.system = sim.system
+        self.chain_major = isinstance(fmt, BIN)
+        self.n_chains = sim.n_chains
+        if self.chain_major:
+            self.dir = os.path.join(sim.path, "trajectories")
+            self._times = []
+            self._field_files = {}
+            self._field_spec = {}
+            return
         self.dirs = [os.path.join(sim.path, "trajectories", str(c + 1))
                      for c in range(sim.n_chains)]
         self.paths = [os.path.join(d, "trajectory" + fmt.extension)
@@ -248,6 +278,12 @@ class StoreTrajectories(ObservableRecorder):
             return
         if sim.verbose:
             print("Opening trajectory files...")
+        if self.chain_major:
+            os.makedirs(self.dir, exist_ok=True)
+            self._times = []
+            self._field_files = {}
+            self._field_spec = {}
+            return
         for d in self.dirs:
             os.makedirs(d, exist_ok=True)
         self.files = [open(p, "w") for p in self.paths]
@@ -255,11 +291,32 @@ class StoreTrajectories(ObservableRecorder):
     def observable(self, view: SimView):
         return jax.vmap(self.system.frame)(view.sys)
 
+    # -- chain-major binary layout ------------------------------------------
+    def _append_records(self, ts, value):
+        """Append a (T, M, ...) pytree chunk to the per-field bin files."""
+        for path, leaf in jax.tree_util.tree_leaves_with_path(value):
+            name = _field_name(path)
+            leaf = np.ascontiguousarray(leaf)
+            if name not in self._field_files:
+                self._field_files[name] = open(
+                    os.path.join(self.dir, name + ".bin"), "wb")
+                self._field_spec[name] = {
+                    "dtype": leaf.dtype.str,
+                    "shape": list(leaf.shape[1:]),   # (M, ...) per record
+                }
+            leaf.tofile(self._field_files[name])
+        self._times.extend(int(t) for t in ts)
+
     def write(self, sim, t, value):
         # No per-event flush (the reference flushes every line,
         # src/algorithms.jl:204); buffered IO + flush at finalise keeps the
         # same file contents without 10^6 syscalls on dense schedules.
         if not _io_host():
+            return
+        if self.chain_major:
+            self._append_records(
+                [t], jax.tree_util.tree_map(lambda x: np.asarray(x)[None],
+                                            value))
             return
         fmt = self.system.format_frame
         rows = _unstack(value)
@@ -269,6 +326,9 @@ class StoreTrajectories(ObservableRecorder):
 
     def write_batch(self, sim, ts, value):
         if not _io_host():
+            return
+        if self.chain_major:
+            self._append_records(ts, value)
             return
         fmt = self.system.format_frame
         if isinstance(value, np.ndarray) and value.ndim == 2:
@@ -284,9 +344,51 @@ class StoreTrajectories(ObservableRecorder):
     def finalise(self, sim):
         if sim.verbose:
             print("Closing trajectory files...")
+        if self.chain_major:
+            import json
+            for f in self._field_files.values():
+                f.close()
+            if self._field_files and _io_host():
+                with open(os.path.join(self.dir, "index.json"), "w") as f:
+                    json.dump({"n_chains": self.n_chains,
+                               "times": self._times,
+                               "fields": self._field_spec}, f)
+            self._field_files = {}
+            return
         for f in self.files:
             f.close()
         self.files = []
+
+
+def _field_name(path) -> str:
+    """Stable field name from a pytree key path ('' -> 'frame')."""
+    s = jax.tree_util.keystr(path)
+    s = s.replace("['", "_").replace("']", "").replace(".", "_")
+    s = s.replace("[", "_").replace("]", "").strip("_")
+    return s or "frame"
+
+
+def load_chain_major_trajectories(path):
+    """Load a chain-major trajectory store written by
+    ``StoreTrajectories(fmt=BIN())``.
+
+    ``path`` is the run directory (or its ``trajectories/`` subdir).
+    Returns ``(times, fields)`` — times an int64 array (T,), fields a dict
+    of zero-copy ``np.memmap`` arrays shaped (T, M, ...), so 10^6-chain
+    stores open without loading into RAM."""
+    import json
+    d = path if os.path.basename(os.path.normpath(path)) == "trajectories" \
+        else os.path.join(path, "trajectories")
+    with open(os.path.join(d, "index.json")) as f:
+        idx = json.load(f)
+    times = np.asarray(idx["times"], np.int64)
+    fields = {}
+    for name, spec in idx["fields"].items():
+        shape = (len(times),) + tuple(spec["shape"])
+        fields[name] = np.memmap(os.path.join(d, name + ".bin"),
+                                 dtype=np.dtype(spec["dtype"]), mode="r",
+                                 shape=shape)
+    return times, fields
 
 
 def _unstack(value):

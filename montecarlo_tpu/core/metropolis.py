@@ -231,7 +231,7 @@ class Metropolis(DeviceAlgorithm):
 
     def __init__(self, sim, pool: Sequence[Move] = (), sweepstep: int = 1,
                  seed: int = 1, rng_impl: str = None, fused: str = "auto",
-                 dependencies=(), **_):
+                 cell_opts: dict = None, dependencies=(), **_):
         if not pool:
             raise ValueError("Metropolis requires a non-empty move pool")
         if fused not in ("auto", "off", "interpret", "cell"):
@@ -264,13 +264,32 @@ class Metropolis(DeviceAlgorithm):
         pos0 = getattr(sim.chains0, "pos", None)
         self._pos_dim = None if pos0 is None else int(pos0.shape[-1])
         self._sim = sim
-        self._plan_cell_mc(sim)
+        self._cell_disabled = False
+        self._plan_cell_mc(sim, cell_opts or {})
 
-    def _plan_cell_mc(self, sim):
+    #: kind tag -> (family, role); a pool maps onto the cell path when it
+    #: is one displacement move of a single family, optionally + the
+    #: matching swap and/or volume move
+    _CELL_KINDS = {
+        "lj_displacement_2d": ("lj", "disp"),
+        "lj_swap": ("lj", "swap"),
+        "lj_volume": ("lj", "vol"),
+        "poly_displacement_2d": ("poly", "disp"),
+        "poly_swap": ("poly", "swap"),
+        "poly_volume": ("poly", "vol"),
+        "hard_disk_displacement_2d": ("hd", "disp"),
+    }
+
+    def _plan_cell_mc(self, sim, opts):
         """Plan the checkerboard cell-MC decomposition (``ops/cell_mc.py``)
-        when the pool is a single particle-displacement move — the large-N
-        fast path (per-move cost O(9C) instead of O(N), ~N/8 moves in
-        parallel per substep)."""
+        — the large-N fast path (per-move cost O(3^dim C) instead of O(N),
+        ~N/2^dim moves in parallel per substep; 2-D and 3-D).
+
+        ``opts`` (the ``cell_opts`` kwarg) tunes the plan: ``d_cap`` (anchor
+        halo, real units), ``cap_slack`` (cell capacity as a multiple of
+        mean occupancy), ``box_margin`` (NPT compression headroom as a box
+        fraction; default 0.15 when the pool carries a volume move).
+        """
         self._cell_plan = None
         self._cell_model = None
         self._cell_plan_error = None
@@ -282,37 +301,45 @@ class Metropolis(DeviceAlgorithm):
             if self.fused == "cell":
                 raise ValueError(f"fused='cell' requested but {reason}")
 
-        if self._pos_dim not in (None, 2):
+        if self._pos_dim not in (None, 2, 3):
             return unsupported(
-                f"the cell decomposition is 2-D only (state has "
+                f"the cell decomposition is 2-D/3-D only (state has "
                 f"{self._pos_dim}-D positions)")
         kinds = tuple(m.move.kind for m in self.pool)
-        proposal = "gaussian"
-        if kinds == ("lj_displacement_2d",):
-            family, swap_mode, disp_idx, swap_idx = "lj", None, 0, None
-        elif kinds == ("poly_displacement_2d",):
-            family, swap_mode, disp_idx, swap_idx = "poly", None, 0, None
-        elif kinds == ("hard_disk_displacement_2d",):
-            family, swap_mode, disp_idx, swap_idx = "hd", None, 0, None
-            proposal = "square"    # hard-disk pools propose uniform squares
-        elif set(kinds) == {"lj_displacement_2d", "lj_swap"}:
-            family, swap_mode = "lj", "species"
-            disp_idx = kinds.index("lj_displacement_2d")
-            swap_idx = kinds.index("lj_swap")
-        elif set(kinds) == {"poly_displacement_2d", "poly_swap"}:
-            family, swap_mode = "poly", "pair"
-            disp_idx = kinds.index("poly_displacement_2d")
-            swap_idx = kinds.index("poly_swap")
-        else:
+        if not kinds or any(k not in self._CELL_KINDS for k in kinds):
             return unsupported(
                 f"the pool kinds {kinds} have no cell-MC mapping (need a "
-                f"single LJ/poly displacement move, optionally + the "
-                f"matching swap move)")
+                f"single LJ/poly/hard-disk displacement move, optionally + "
+                f"the matching swap and/or volume move)")
+        families = {self._CELL_KINDS[k][0] for k in kinds}
+        roles = [self._CELL_KINDS[k][1] for k in kinds]
+        if len(families) != 1 or roles.count("disp") != 1 \
+                or roles.count("swap") > 1 or roles.count("vol") > 1:
+            return unsupported(
+                f"the pool kinds {kinds} have no cell-MC mapping (need "
+                f"one family with one displacement move, at most one swap "
+                f"and one volume move)")
+        family = families.pop()
+        disp_idx = roles.index("disp")
+        swap_idx = roles.index("swap") if "swap" in roles else None
+        vol_idx = roles.index("vol") if "vol" in roles else None
+        swap_mode = {"lj": "species", "poly": "pair", "hd": None}[family] \
+            if swap_idx is not None else None
+        proposal = "square" if family == "hd" else "gaussian"
         if swap_idx is not None and (
                 self.pool[disp_idx].move.aux != self.pool[swap_idx].move.aux):
             return unsupported(
                 "the displacement and swap moves carry different "
                 "interaction tables (no shared cell geometry)")
+        pressure = None
+        if vol_idx is not None:
+            vaux = self.pool[vol_idx].move.aux
+            if (not isinstance(vaux, tuple) or len(vaux) != 2
+                    or vaux[0] != self.pool[disp_idx].move.aux):
+                return unsupported(
+                    "the volume move carries a different interaction table "
+                    "than the displacement move (no shared cell geometry)")
+            pressure = float(vaux[1])
         try:
             state0 = sim.chains0
             box0 = float(np.asarray(state0.box).ravel()[0])
@@ -329,12 +356,32 @@ class Metropolis(DeviceAlgorithm):
                 from ..models.hard_disks import cell_closures
                 pe, rc2, rcut_max = cell_closures()
             from ..ops.cell_mc import plan_grid
-            # fixed 0.45 halo: measured better than sizing it to ~3 sigma
-            # (a tighter halo buys a slightly finer grid but loses more to
-            # anchor rejections — acc 0.17 -> 0.14 at sigma 0.08, N=4096)
-            self._cell_plan = plan_grid(n_particles, box0, rcut_max)
+            # fixed 0.45 halo default: measured better than sizing it to
+            # ~3 sigma (a tighter halo buys a slightly finer grid but
+            # loses more to anchor rejections — acc 0.17 -> 0.14 at
+            # sigma 0.08, N=4096)
+            d_cap = float(opts.get("d_cap", 0.45))
+            cap_slack = float(opts.get("cap_slack", 2.0))
+            box_margin = float(opts.get(
+                "box_margin", 0.15 if vol_idx is not None else 0.0))
+            dim = self._pos_dim
+            plan0 = plan_grid(n_particles, box0, rcut_max, d_cap=d_cap,
+                              cap_slack=cap_slack, dim=dim,
+                              box_margin=box_margin)
+            # quantile-style capacity: measure the actual max per-cell
+            # occupancy of the initial configuration (a mean multiple
+            # under-sizes clustered states — ADVICE r4), with NPT
+            # compression headroom when volume moves can shrink the box
+            max_occ = _max_cell_occupancy(state0, plan0.nc, dim)
+            if vol_idx is not None:
+                max_occ = int(np.ceil(
+                    max_occ * (box0 / plan0.box_min) ** dim))
+            self._cell_plan = plan_grid(
+                n_particles, box0, rcut_max, d_cap=d_cap,
+                cap_slack=cap_slack, dim=dim, box_margin=box_margin,
+                max_occupancy=max_occ)
             self._cell_model = (pe, rc2, family, swap_mode, disp_idx,
-                                swap_idx, proposal)
+                                swap_idx, vol_idx, pressure, proposal)
             self._cell_n = n_particles
         except (ValueError, AttributeError) as e:
             self._cell_plan = None  # box too small / no geometry: row path
@@ -346,26 +393,36 @@ class Metropolis(DeviceAlgorithm):
             return
         self._cell_plan_error = None
 
+    def disable_cell_path(self):
+        """Orchestrator fallback hook: permanently drop to the generic path
+        (called when an auto-selected cell bind overflows mid-run)."""
+        self._cell_disabled = True
+        self._cell_plan_error = (
+            "disabled mid-run: a cell bind exceeded the planned capacity; "
+            "fell back to the generic path")
+
     @property
     def _use_cell(self) -> bool:
-        if self._cell_plan is None:
+        if self._cell_plan is None or self._cell_disabled:
             return False
         if self.fused == "cell":
             return True   # explicit opt-in (validate_state surfaces misuse)
         # auto: the row kernel's O(N) per-move cost overtakes the cell
-        # path's O(9C) around N ~ 2k at liquid densities — but never when
-        # ANY algorithm in the simulation carries volume moves (a box
-        # change invalidates the static cell grid; the generic path
-        # samples NPT correctly)
-        if self.fused != "auto" or self._cell_n < 2048:
-            return False
-        for alg in self._sim.algorithms:
-            for move in getattr(alg, "pool", ()):
-                if "volume" in move.move.kind:
-                    return False
-        return True
+        # path's O(3^dim C) around N ~ 2k at liquid densities.  Volume
+        # moves are fine — the fractional-coordinate grid accepts any
+        # per-chain box above the plan's validity floor.
+        return self.fused == "auto" and self._cell_n >= 2048
 
     # -- device-state slice ------------------------------------------------
+    class CellBindInvalid(RuntimeError):
+        """An auto-selected cell bind overflowed; the orchestrator catches
+        this at the next host sync point and falls back to the generic
+        path (the offending segments were skipped as no-ops)."""
+
+        def __init__(self, alg):
+            self.alg = alg
+            super().__init__("cell-MC bind became invalid during the run")
+
     def init_state(self, sim):
         base = (jax.random.key(self.seed, impl=self.rng_impl)
                 if self.rng_impl else jax.random.key(self.seed))
@@ -375,26 +432,35 @@ class Metropolis(DeviceAlgorithm):
         slc = {"keys": keys, "counters": counters}
         if self._cell_plan is not None:
             # latched flag: a cell bind became invalid (capacity exceeded
-            # or box diverged from the static grid); checked on host by
-            # validate_state at the end of the run
+            # or box below the grid's validity floor); checked on host at
+            # every sync point.  cell_debt carries the fractional-substep
+            # credit so fine recorder strides don't round every segment up
+            # to a whole substep (ADVICE r4).
             slc["cell_overflow"] = jnp.zeros((), bool)
+            slc["cell_debt"] = jnp.zeros((), jnp.float32)
         return slc
 
     def validate_state(self, dstate):
-        """Host-side sanity check, called by ``Simulation.run`` after the
-        time loop: surface a latched invalid-cell-bind flag as an error
-        (the affected segments were skipped as no-ops, so the state is
-        uncorrupted but under-sampled)."""
+        """Host-side sanity check, called at every host sync point: surface
+        a latched invalid-cell-bind flag (the affected segments were
+        skipped as no-ops, so the state is uncorrupted but under-sampled).
+        Auto-selected runs raise :class:`CellBindInvalid`, which the
+        orchestrator catches to fall back to the generic path; an explicit
+        ``fused='cell'`` request fails loudly instead."""
+        if self._cell_disabled:
+            return
         slc = dstate.get(self.state_key, {})
         flag = slc.get("cell_overflow")
         if flag is not None and bool(jax.device_get(flag)):
+            if self.fused != "cell":
+                raise Metropolis.CellBindInvalid(self)
             raise RuntimeError(
                 "cell-MC bind became invalid during the run: a cell "
-                "exceeded its static capacity, or a chain's box diverged "
-                "from the planned grid (e.g. volume moves elsewhere in the "
-                "simulation).  The affected segments were skipped (no-op, "
-                "zero counters).  Enlarge plan_grid's cap_slack, or use "
-                "fused='off' for runs with dynamical geometry.")
+                "exceeded its static capacity, or a chain's box shrank "
+                "below the planned grid's validity floor.  The affected "
+                "segments were skipped (no-op, zero counters).  Enlarge "
+                "cell_opts={'cap_slack': ...} / {'box_margin': ...}, or "
+                "use fused='off'.")
 
     def init_params(self):
         """Initial replicated move parameters (tuple, one pytree per move)."""
@@ -482,13 +548,33 @@ class Metropolis(DeviceAlgorithm):
         if self._use_cell:           # checkerboard cell MC (large N)
             from ..ops.cell_mc import cell_mc_segment
             plan = self._cell_plan
-            (pe, rc2, family, swap_mode, disp_idx, swap_idx,
-             proposal) = self._cell_model
+            (pe, rc2, family, swap_mode, disp_idx, swap_idx, vol_idx,
+             pressure, proposal) = self._cell_model
             sigma = jax.tree_util.tree_leaves(params[disp_idx])[0]
-            w_disp = (1.0 if swap_idx is None else
-                      float(self.weights[disp_idx] / self.weights.sum()))
-            per_substep = (plan.nc * plan.nc) // 4
-            substeps = (total + per_substep - 1) // per_substep
+            wsum = float(self.weights.sum())
+            w_d = float(self.weights[disp_idx]) / wsum
+            w_s = (float(self.weights[swap_idx]) / wsum
+                   if swap_idx is not None else 0.0)
+            w_v = (float(self.weights[vol_idx]) / wsum
+                   if vol_idx is not None else 0.0)
+            # substep accounting: a displacement/swap substep delivers
+            # ~A attempts, a volume substep 1 per chain.  z = substeps per
+            # requested MC step; the fractional remainder is carried in
+            # cell_debt so fine recorder strides don't round every segment
+            # up to a whole substep (ADVICE r4).
+            a_att = (plan.nc ** plan.dim) // (2 ** plan.dim)
+            z = (w_d + w_s) / a_att + w_v
+            want = total.astype(jnp.float32) * z + slc["cell_debt"]
+            substeps = jnp.floor(want).astype(jnp.int32)
+            new_debt = want - substeps.astype(jnp.float32)
+            # per-substep kind probabilities (attempt-rate matched)
+            p_d = (w_d / a_att) / z
+            p_s = (w_s / a_att) / z
+            if vol_idx is not None:
+                dlnv = params[vol_idx]["dlnv"]
+                vol = (self._cell_n, pressure)
+            else:
+                dlnv, vol = 0.0, None
             base = jax.random.fold_in(jax.random.key(self.seed),
                                       micro_t0.astype(jnp.uint32))
             if family == "lj":
@@ -502,17 +588,18 @@ class Metropolis(DeviceAlgorithm):
                        else jnp.ones((n_chains,), jnp.float32))
             energy_in = (sys.energy if hasattr(sys, "energy")
                          else jnp.zeros((n_chains,), jnp.float32))
-            pos, attr_out, energy, att, acc, ovf = cell_mc_segment(
+            pos, attr_out, energy, box_out, att, acc, ovf = cell_mc_segment(
                 plan, pe, rc2, sys.pos, attr, beta_in, energy_in,
-                sigma, base, substeps, w_disp=w_disp, swap_mode=swap_mode,
-                box=sys.box, proposal=proposal)
+                sigma, base, substeps, w_disp=p_d, w_swap=p_s,
+                swap_mode=swap_mode, box=sys.box, proposal=proposal,
+                vol=vol, dlnv=dlnv)
             if family == "lj":
                 new_sys = dataclasses.replace(
                     sys, pos=pos, species=attr_out.astype(sys.species.dtype),
-                    energy=energy)
+                    energy=energy, box=box_out)
             elif family == "poly":
                 new_sys = dataclasses.replace(
-                    sys, pos=pos, diam=attr_out, energy=energy)
+                    sys, pos=pos, diam=attr_out, energy=energy, box=box_out)
             else:
                 new_sys = dataclasses.replace(sys, pos=pos)
             inc = jnp.zeros_like(slc["counters"])
@@ -521,7 +608,11 @@ class Metropolis(DeviceAlgorithm):
             if swap_idx is not None:
                 inc = inc.at[:, swap_idx, 0].add(acc[:, 1])
                 inc = inc.at[:, swap_idx, 1].add(att[:, 1])
-            out_slc = {**slc, "counters": slc["counters"] + inc}
+            if vol_idx is not None:
+                inc = inc.at[:, vol_idx, 0].add(acc[:, 2])
+                inc = inc.at[:, vol_idx, 1].add(att[:, 2])
+            out_slc = {**slc, "counters": slc["counters"] + inc,
+                       "cell_debt": new_debt}
             if "cell_overflow" in slc:
                 out_slc["cell_overflow"] = slc["cell_overflow"] | jnp.any(ovf)
             return {**dstate, "sys": new_sys,
@@ -638,13 +729,44 @@ def _fmt_params(params) -> str:
     return "[" + ", ".join(repr(float(v)) for v in flat) + "]"
 
 
+def _max_cell_occupancy(state0, nc: int, dim: int,
+                        max_chains: int = 64) -> int:
+    """Max per-cell particle count of the initial configuration (host-side
+    numpy, sampled over at most ``max_chains`` chains) — sizes the cell
+    capacity from an observed quantile instead of the mean."""
+    pos = np.asarray(state0.pos)[:max_chains]
+    box = np.asarray(state0.box).reshape(-1)[:max_chains, None, None]
+    ci = np.clip((pos / box * nc).astype(np.int64), 0, nc - 1)
+    cid = ci[..., 0]
+    for a in range(1, dim):
+        cid = cid * nc + ci[..., a]
+    m = pos.shape[0]
+    cid = cid + nc ** dim * np.arange(m)[:, None]
+    return int(np.bincount(cid.ravel()).max())
+
+
 def callback_acceptance(view: SimView):
-    """Mean acceptance rate over chains and moves
-    (ref ``callback_acceptance``, ``src/metropolis.jl:319-321``)."""
-    counters = view.state["metropolis"]["counters"]  # (M, K, 2)
-    acc = counters[..., 0].astype(jnp.float32)
-    tot = counters[..., 1].astype(jnp.float32)
-    return jnp.mean(acc / tot)
+    """Mean acceptance rate over chains and moves of EVERY Metropolis
+    instance (ref ``callback_acceptance``, ``src/metropolis.jl:319-321``,
+    which averages over all Metropolis algorithms in the list).  Entries
+    with zero attempts (e.g. the t=0 ``store_first`` row) are excluded
+    from the mean instead of producing 0/0 = nan."""
+    num = jnp.zeros((), jnp.float32)
+    den = jnp.zeros((), jnp.float32)
+    for key in view.state:
+        if not key.startswith("metropolis"):
+            continue
+        slc = view.state[key]
+        if not isinstance(slc, dict) or "counters" not in slc:
+            continue
+        counters = slc["counters"]                       # (M, K, 2)
+        acc = counters[..., 0].astype(jnp.float32)
+        tot = counters[..., 1].astype(jnp.float32)
+        valid = tot > 0
+        num = num + jnp.sum(jnp.where(valid, acc / jnp.maximum(tot, 1.0),
+                                      0.0))
+        den = den + jnp.sum(valid.astype(jnp.float32))
+    return num / jnp.maximum(den, 1.0)
 
 
 class StoreParameters(ObservableRecorder):

@@ -375,6 +375,24 @@ def _select_advance(sim: Simulation):
 
 
 def _execute(sim: Simulation):
+    """Run the time loop, falling back to the generic path (and resuming
+    from the last sync point — the offending chunk is discarded before any
+    recorder writes) when an auto-selected cell-MC bind overflows."""
+    from .metropolis import Metropolis
+    while True:
+        try:
+            return _execute_inner(sim)
+        except Metropolis.CellBindInvalid as e:
+            import warnings
+            e.alg.disable_cell_path()
+            warnings.warn(
+                "cell-MC bind exceeded the planned cell capacity at "
+                f"t={sim.t}; falling back to the generic path for the rest "
+                "of the run (raise cell_opts={'cap_slack': ...} to keep "
+                "the fast path)", RuntimeWarning, stacklevel=2)
+
+
+def _execute_inner(sim: Simulation):
     advance = _select_advance(sim)
 
     # cache revalidation at observation points (SystemDef.refresh): bounds
@@ -524,6 +542,7 @@ def _execute(sim: Simulation):
 
     if sim.t < sim.steps:
         ds = advance_j(ds, masks, sim.steps - sim.t)
+        check_state(ds)
         sim.t = sim.steps
     sim.device_state = ds
 

@@ -391,7 +391,8 @@ def cell_closures(params: LJParams):
     return pair_energy, rcut2_of, rcut_max
 
 
-def virial_pressure(state: LJState, params: LJParams = LJParams()):
+def virial_pressure(state: LJState, params: LJParams = LJParams(),
+                    row_batch: int = None):
     """Instantaneous virial pressure of ONE chain (any dimension d).
 
     ``P = rho / beta + W / (d V)`` with the pair virial
@@ -401,27 +402,52 @@ def virial_pressure(state: LJState, params: LJParams = LJParams()):
     impulsive cutoff term, and no tail correction applies (the ensemble IS
     the truncated model).  This is the NVT side of the NPT/NVT
     equation-of-state cross-check (``tests/test_npt.py``).
+
+    ``row_batch`` bounds peak memory to ``row_batch x N`` pair terms (the
+    dense path materialises the full ``(N, N, dim)`` displacement tensor,
+    which vmapped over chains OOMs at large N); results are identical.
     """
-    d = state.pos[:, None, :] - state.pos[None, :, :]
-    d = d - state.box * jnp.round(d / state.box)
-    r2 = jnp.sum(d * d, axis=-1)
-    eps, sig = params.coeffs(state.species[:, None], state.species[None, :])
-    sig2 = sig * sig
-    rc2 = (params.rcut * sig) ** 2
-    inv = sig2 / jnp.maximum(r2, 1e-12)
-    i6 = inv * inv * inv
-    w = 24.0 * eps * (2.0 * i6 * i6 - i6)
     n, dim = state.pos.shape
-    mask = (~jnp.eye(n, dtype=bool)) & (r2 < rc2)
-    w_sum = 0.5 * jnp.sum(jnp.where(mask, w, 0.0))
+
+    def rows_w(x_i, s_i):
+        # (R, N) pair virials of probe rows x_i against all particles
+        d = state.pos[None, :, :] - x_i[:, None, :]
+        d = d - state.box * jnp.round(d / state.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        eps, sig = params.coeffs(s_i[:, None], state.species[None, :])
+        sig2 = sig * sig
+        rc2 = (params.rcut * sig) ** 2
+        inv = sig2 / jnp.maximum(r2, 1e-12)
+        i6 = inv * inv * inv
+        w = 24.0 * eps * (2.0 * i6 * i6 - i6)
+        return jnp.where(r2 < rc2, w, 0.0)
+
+    if row_batch is None or row_batch >= n:
+        w = rows_w(state.pos, state.species)
+        mask = ~jnp.eye(n, dtype=bool)
+        w_sum = 0.5 * jnp.sum(jnp.where(mask, w, 0.0))
+    else:
+        idx = jnp.arange(n)
+
+        def row(i):
+            w = rows_w(state.pos[i][None], state.species[i][None])[0]
+            return jnp.sum(jnp.where(idx == i, 0.0, w))
+
+        w_sum = 0.5 * jnp.sum(jax.lax.map(row, idx, batch_size=row_batch))
     v = state.box ** dim
     rho = n / v
     return rho / state.beta + w_sum / (dim * v)
 
 
 def callback_pressure(view, params: LJParams = LJParams()):
-    """Mean instantaneous virial pressure over chains (NVT observable)."""
-    return jnp.mean(jax.vmap(lambda s: virial_pressure(s, params))(view.sys))
+    """Mean instantaneous virial pressure over chains (NVT observable).
+
+    Auto row-batches beyond N ~ 1024 so the vmap over chains stays within
+    HBM (same policy as ``total_energy`` / ``refresh``)."""
+    n = view.sys.pos.shape[-2]
+    rb = None if n <= 1024 else 256
+    return jnp.mean(jax.vmap(
+        lambda s: virial_pressure(s, params, row_batch=rb))(view.sys))
 
 
 # ---------------------------------------------------------------------------
@@ -475,9 +501,11 @@ def lj_volume_move(dlnv: float, pressure: float, weight: float = 1.0,
     def reward(delta, new_state):
         return delta * delta
 
+    # aux carries (interaction table, pressure): the cell-MC planner needs
+    # the target pressure to run volume substeps on the bound state
     md = MoveDef(name="LJVolume", policy=UniformLogVolume(),
                  apply=apply, invert=invert, reward=reward,
-                 kind="lj_volume", aux=params)
+                 kind="lj_volume", aux=(params, float(pressure)))
     return Move(move=md,
                 params={"dlnv": jnp.asarray(dlnv, jnp.float32)},
                 weight=weight)

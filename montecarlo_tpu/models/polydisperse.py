@@ -362,9 +362,10 @@ def volume_move(dlnv: float, pressure: float, weight: float = 1.0,
     def reward(delta, new_state):
         return delta * delta
 
+    # aux carries (interaction table, pressure) for the cell-MC planner
     md = MoveDef(name="PolyVolume", policy=UniformLogVolume(),
                  apply=apply, invert=invert, reward=reward,
-                 kind="poly_volume", aux=params)
+                 kind="poly_volume", aux=(params, float(pressure)))
     return Move(move=md,
                 params={"dlnv": jnp.asarray(dlnv, jnp.float32)},
                 weight=weight)

@@ -15,7 +15,25 @@ import jax
 
 from ..core.algorithms import HostAlgorithm, _io_host
 
-__all__ = ["Throughput", "ProfilerTrace"]
+__all__ = ["device_sync", "Throughput", "ProfilerTrace"]
+
+
+def device_sync(tree):
+    """Block until every computation producing ``tree`` has executed.
+
+    The ONE sync discipline shared by the throughput recorder and
+    ``bench.py``: a scalar readback of a derived element, because
+    ``jax.block_until_ready`` does not reliably block on the axon tunnel
+    backend (it returns once the handle exists, not once the program
+    ran).  Reading any derived scalar forces the producing program — all
+    leaves of one jit call come from the same executable."""
+    import jax.numpy as jnp
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if (hasattr(leaf, "dtype") and getattr(leaf, "size", 0)
+                and jnp.issubdtype(leaf.dtype, jnp.number)):
+            jax.device_get(leaf.ravel()[0])
+            return
+    jax.block_until_ready(tree)
 
 
 class Throughput(HostAlgorithm):
@@ -39,7 +57,8 @@ class Throughput(HostAlgorithm):
 
     def make_step(self, sim, t):
         # force device sync so the interval measures real execution
-        jax.block_until_ready(sim.device_state)
+        # (scalar readback — see device_sync on the axon caveat)
+        device_sync(sim.device_state)
         now = time.perf_counter()
         dt_steps = (t - self._last_t) * self.n_chains
         wall = now - self._last_wall

@@ -56,9 +56,9 @@ def bench_cell(st, params, n_substeps):
     att_total = {}
 
     def run():
-        pos, _, e, att, acc, ovf = cell_mc.cell_mc_segment(
+        pos, _, e, _, att, acc, ovf = cell_mc.cell_mc_segment(
             grid, pe, rc2, st.pos, attr, st.beta, st.energy, 0.08,
-            jax.random.key(0), n_substeps)
+            jax.random.key(0), n_substeps, box=st.box)
         float(e.sum())
         att_total["n"] = int(jnp.sum(att))
         att_total["ovf"] = bool(jnp.any(ovf))
