@@ -251,6 +251,38 @@ def _pull_and_write(sim, recorders, t):
 
 # -- compiled advance -------------------------------------------------------
 
+def build_chunk_runner(advance, refresh, observe):
+    """Buffered runner: ``n_periods`` advances, each followed by an
+    on-device observable emit into a CHUNK-deep ring buffer flushed to host
+    once per chunk (the "on-device trajectory buffers" of BASELINE.json).
+
+    Module-level so the scaling test can lower the EXACT production chunk
+    program over a mesh and assert its collective footprint
+    (``tests/test_sharding.py``): the advance inside stays collective-free;
+    only the observable emission communicates.
+    """
+
+    @jax.jit
+    def run_chunk(ds, masks, first_dt, stride, n_periods):
+        shapes = jax.eval_shape(observe, ds)
+        bufs = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((_CHUNK,) + s.shape, s.dtype), shapes)
+
+        def body(i, carry):
+            ds, bufs = carry
+            dt = jnp.where(i == 0, first_dt, stride)
+            ds = refresh(advance(ds, masks, dt))
+            obs = observe(ds)
+            bufs = jax.tree_util.tree_map(
+                lambda b, o: jax.lax.dynamic_update_index_in_dim(
+                    b, o, i, 0), bufs, obs)
+            return ds, bufs
+
+        return jax.lax.fori_loop(0, n_periods, body, (ds, bufs))
+
+    return run_chunk
+
+
 def _make_advance(device_algos, always_on=None):
     """Build the fused device time-stepper.
 
@@ -467,30 +499,10 @@ def _execute_inner(sim: Simulation):
         return observe_cache[obs_ids]
 
     def make_chunk(obs_ids):
-        """Buffered runner: n_periods advances, each followed by an on-device
-        observable emit into a CHUNK-deep ring buffer."""
         if obs_ids not in chunk_cache:
             observe, _ = make_observe(obs_ids)
-
-            @jax.jit
-            def run_chunk(ds, masks, first_dt, stride, n_periods):
-                shapes = jax.eval_shape(observe, ds)
-                bufs = jax.tree_util.tree_map(
-                    lambda s: jnp.zeros((_CHUNK,) + s.shape, s.dtype), shapes)
-
-                def body(i, carry):
-                    ds, bufs = carry
-                    dt = jnp.where(i == 0, first_dt, stride)
-                    ds = refresh(advance(ds, masks, dt))
-                    obs = observe(ds)
-                    bufs = jax.tree_util.tree_map(
-                        lambda b, o: jax.lax.dynamic_update_index_in_dim(
-                            b, o, i, 0), bufs, obs)
-                    return ds, bufs
-
-                return jax.lax.fori_loop(0, n_periods, body, (ds, bufs))
-
-            chunk_cache[obs_ids] = run_chunk
+            chunk_cache[obs_ids] = build_chunk_runner(advance, refresh,
+                                                      observe)
         return chunk_cache[obs_ids]
 
     ds = sim.device_state

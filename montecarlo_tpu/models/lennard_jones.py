@@ -516,3 +516,179 @@ def callback_density(view):
     n, d = view.sys.pos.shape[-2:]
     v = view.sys.box ** d
     return jnp.mean(n / v)
+
+
+# ---------------------------------------------------------------------------
+# Event-chain MC for the soft LJ potential (exact factor events)
+# ---------------------------------------------------------------------------
+
+def ecmc_model(chain_length: float, params: LJParams = LJParams(),
+               max_events_per_chain: int = 512):
+    """Straight event chains for the truncated-and-shifted LJ mixture —
+    the soft-potential ECMC the reference names as its extension target
+    (``/root/reference/README.md:27``) beyond hard disks.
+
+    Factorized-Metropolis ECMC (Peters & de With 2012; Michel, Kapfer &
+    Krauth 2014): each pair (i, j) is an independent factor whose event
+    fires when the CUMULATIVE UPHILL energy of that pair along the active
+    particle's path reaches an Exp(1)/beta threshold.  For straight-line
+    motion past a radial potential the uphill energy is piecewise monotone
+    in r (approach: uphill only inside the minimum r_m = 2^(1/6) sigma;
+    recede: uphill only outside r_m, saturating at the cutoff), and the
+    truncated-shifted LJ inverts in CLOSED FORM on each branch
+    (``4 eps (y^2 - y) = v + c`` with ``y = (sigma/r)^6`` is a quadratic),
+    so per event one O(N) vector pass yields every factor's exact event
+    distance — no thinning, no discretisation:
+
+    - approach (dx > 0): max uphill ``E1 = u(b) - u(a1)`` with impact
+      parameter ``b = |w|`` and ``a1 = min(r0, r_m)``; a threshold below
+      E1 fires at ``r_ev`` from the CORE branch
+      (``y = (1 + sqrt(1 + (v+c)/eps)) / 2``),
+      ``s = dx - sqrt(r_ev^2 - w^2)``.
+    - recede: uphill climbs out of the well from ``a2 = max(b_or_r0, r_m)``
+      up to the cutoff, ``E2 = -u(a2)``; fires at ``r_ev`` from the OUTER
+      branch (``y = (1 - sqrt(...)) / 2``),
+      ``s = dx + sqrt(r_ev^2 - w^2)``.
+    - otherwise the factor cannot fire before the pair leaves range.
+
+    The per-iteration advance is capped at ``box/2 - rcut`` so min-image
+    coordinates stay unambiguous; re-drawing the factor thresholds after a
+    no-event advance is EXACT by the memorylessness of the exponential.
+    The lifting transfers to the arg-min factor; every move is accepted.
+    Dimension-generic (2-D/3-D): only ``w^2 = r0^2 - along^2`` enters.
+
+    The cached ``state.energy`` is NOT incrementally tracked (events don't
+    need it); the system's ``refresh`` hook revalidates it at every
+    observation point, so recorded energies are exact.
+
+    Statistics: ``t`` (distance), ``chains``, ``collisions`` (lifting
+    transfers), ``cap_hits`` (iteration-cap truncations; keep at 0), and
+    ``excess`` — the sum of signed along-direction separations at lifting
+    events, giving the MKK pressure estimator
+    ``beta P / rho = 1 + <excess per chain> / chain_length``.
+    """
+    from ..core.ecmc import EventChainModel
+
+    rcut_max = params.rcut * float(np.max(np.asarray(params.sig)))
+    xc2 = 1.0 / (params.rcut * params.rcut)     # (sigma / rcut_ij)^2
+    xc6 = xc2 * xc2 * xc2
+    # u_ts(r) = 4 eps [(sig/r)^12 - (sig/r)^6] - c_eps,  c_eps = 4 eps c0
+    c0 = xc6 * xc6 - xc6                        # (negative) shift / (4 eps)
+
+    def event_step(state, lift, key):
+        pos0, box, beta = state.pos, state.box, state.beta
+        n, dim = pos0.shape
+        # advance cap keeps min-image coordinates unambiguous per
+        # iteration; requires box > 2 rcut_max (a too-small box deadlocks
+        # into the iteration cap, surfaced by cap_hits)
+        s_cap = jnp.maximum(box / 2.0 - rcut_max, 0.0)
+        ka, kd, ku = jax.random.split(key, 3)
+        a0 = jax.random.randint(ka, (), 0, n)
+        d = jax.random.randint(kd, (), 0, dim)
+        shift_v = jax.nn.one_hot(d, dim, dtype=pos0.dtype)
+        idx = jnp.arange(n)
+
+        def u_ts(r2, eps, sig):
+            """Truncated-shifted LJ on squared distance (no cutoff gate —
+            callers only evaluate inside the relevant branch)."""
+            y = (sig * sig / jnp.maximum(r2, 1e-12)) ** 3
+            return 4.0 * eps * (y * y - y - c0)
+
+        def cond(carry):
+            pos, a, budget, ncoll, niter, excess, k = carry
+            return (budget > 0.0) & (niter < max_events_per_chain)
+
+        def body(carry):
+            pos, a, budget, ncoll, niter, excess, k = carry
+            k, kthr = jax.random.split(k)
+            mask_a = idx == a
+            p = jnp.sum(jnp.where(mask_a[:, None], pos, 0.0), axis=0)
+            s_a = jnp.sum(jnp.where(mask_a, state.species, 0)).astype(
+                state.species.dtype)
+            rel = pos - p
+            rel = rel - box * jnp.round(rel / box)     # signed min-image
+            along = rel @ shift_v
+            r0sq = jnp.sum(rel * rel, axis=-1)
+            w2 = jnp.maximum(r0sq - along * along, 0.0)
+            r0 = jnp.sqrt(r0sq)
+            b = jnp.sqrt(w2)
+
+            eps, sig = params.coeffs(s_a, state.species)
+            r_m = (2.0 ** (1.0 / 6.0)) * sig
+            rc = params.rcut * sig
+            u_of = lambda r: u_ts(r * r, eps, sig)
+            u_rm = 4.0 * eps * (-0.25 - c0)            # u_ts at r_m
+
+            approaching = along > 0.0
+            # exponential uphill threshold per factor
+            u01 = jax.random.uniform(
+                kthr, (n,), minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+            d_e = -jnp.log(u01) / beta
+
+            # approach branch: uphill from a1 = min(r0, r_m) down to b
+            a1 = jnp.minimum(r0, r_m)
+            u_a1 = jnp.where(r0 < r_m, u_of(r0), u_rm)
+            e1_max = jnp.where(approaching & (b < a1),
+                               u_of(b) - u_a1, 0.0)
+            # recede branch: uphill from a2 = max(b_or_r0, r_m) to cutoff
+            rr = jnp.where(approaching, b, r0)
+            a2 = jnp.maximum(rr, r_m)
+            u_a2 = jnp.where(rr > r_m, u_of(rr), u_rm)
+            e2_max = jnp.where(a2 < rc, -u_a2, 0.0)
+
+            in_core = approaching & (d_e < e1_max)
+            d_e2 = d_e - jnp.where(approaching, e1_max, 0.0)
+            in_outer = jnp.logical_not(in_core) & (d_e2 < e2_max)
+
+            def invert(v, sign):
+                # 4 eps (y^2 - y - c0) = v  =>  y^2 - y - (c0 + v/4eps) = 0
+                disc = jnp.sqrt(jnp.maximum(
+                    1.0 + 4.0 * c0 + v / eps, 0.0))
+                y = jnp.maximum((1.0 + sign * disc) / 2.0, 1e-12)
+                return sig * y ** (-1.0 / 6.0)
+
+            r_core = invert(u_a1 + d_e, +1.0)
+            r_outer = invert(u_a2 + d_e2, -1.0)
+            s_core = along - jnp.sqrt(
+                jnp.maximum(r_core * r_core - w2, 0.0))
+            s_outer = along + jnp.sqrt(
+                jnp.maximum(r_outer * r_outer - w2, 0.0))
+            s_j = jnp.where(in_core, s_core,
+                            jnp.where(in_outer, s_outer, jnp.inf))
+            s_j = jnp.where(mask_a, jnp.inf, jnp.maximum(s_j, 0.0))
+
+            s_min = jnp.min(s_j)
+            j_star = jnp.min(jnp.where(s_j == s_min, idx, n)).astype(
+                jnp.int32)
+            limit = jnp.minimum(budget, s_cap)
+            hit = s_min < limit
+            s = jnp.minimum(s_min, limit)
+            new_p = (p + s * shift_v) % box
+            pos = jnp.where(mask_a[:, None], new_p, pos)
+            a = jnp.where(hit, j_star, a)
+            # signed separation along e AT the event (the pair moved s
+            # closer by then) — the MKK pressure excess; core events
+            # contribute +sqrt(r_ev^2 - w^2), well-escape events the
+            # negative root (the attractive pull on the pressure)
+            along_hit = jnp.sum(jnp.where(idx == j_star, along, 0.0))
+            excess = excess + jnp.where(hit, along_hit - s, 0.0)
+            return (pos, a, budget - s, ncoll + hit.astype(jnp.int32),
+                    niter + 1, excess, k)
+
+        budget0 = jnp.asarray(chain_length, jnp.float32)
+        pos, a, budget, ncoll, niter, excess, _ = jax.lax.while_loop(
+            cond, body, (pos0, a0, budget0, jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
+                         ku))
+        stats = {"t": chain_length - budget,
+                 "chains": jnp.asarray(1, jnp.int32),
+                 "collisions": ncoll,
+                 "cap_hits": (budget > 0.0).astype(jnp.int32),
+                 "excess": excess}
+        return dataclasses.replace(state, pos=pos), lift, stats
+
+    def init_lift(state, key):
+        return {}
+
+    return EventChainModel(init_lift=init_lift, event_step=event_step,
+                           name="LJStraightECMC")

@@ -378,6 +378,131 @@ def callback_density(view):
     return jnp.mean(n / v)
 
 
+# ---------------------------------------------------------------------------
+# Event-chain MC for the smoothed IPL potential (exact factor events)
+# ---------------------------------------------------------------------------
+
+def ecmc_model(chain_length: float, params: PolyParams = PolyParams(),
+               max_events_per_chain: int = 512, bisect_iters: int = 26):
+    """Straight event chains for the polydisperse smoothed-IPL mixture.
+
+    Same factorized-Metropolis scheme as ``lennard_jones.ecmc_model`` (see
+    its docstring for the derivation), simplified by monotonicity: the
+    smoothed IPL-12 is purely repulsive (u' < 0 on (0, x_c sigma_ij) with
+    u = u' = 0 at the cut), so the cumulative uphill energy of a factor is
+    nonzero ONLY while approaching — ``E(s) = u(r(s)) - u(r0)`` — and
+    saturates at the impact parameter: ``E_max = u(b) - u(r0)``.  The
+    branch inversion ``u(r_ev) = u(r0) + dE`` has no closed form (the
+    C2-smoothing polynomial), so it runs ``bisect_iters`` vectorized
+    bisection steps on the bracket [b, min(r0, rc)] — exact to float32 at
+    26 iterations, fixed-shape, branch-free.
+
+    Receding pairs never fire (no uphill), so lifting events always
+    transfer forward: the ``excess`` statistic (signed separation at the
+    event) is strictly positive, and
+    ``beta P / rho = 1 + <excess per chain> / chain_length`` gives the
+    swap-MC glass former's pressure for free.
+    """
+    from ..core.ecmc import EventChainModel
+
+    c0, c2, c4 = params.coeffs()
+    rcut_max = params.xc * params.d_max
+    xc2 = params.xc ** 2
+
+    def event_step(state, lift, key):
+        pos0, box, beta = state.pos, state.box, state.beta
+        n, dim = pos0.shape
+        s_cap = jnp.maximum(box / 2.0 - rcut_max, 0.0)
+        ka, kd, ku = jax.random.split(key, 3)
+        a0 = jax.random.randint(ka, (), 0, n)
+        d = jax.random.randint(kd, (), 0, dim)
+        shift_v = jax.nn.one_hot(d, dim, dtype=pos0.dtype)
+        idx = jnp.arange(n)
+
+        def cond(carry):
+            pos, a, budget, ncoll, niter, excess, k = carry
+            return (budget > 0.0) & (niter < max_events_per_chain)
+
+        def body(carry):
+            pos, a, budget, ncoll, niter, excess, k = carry
+            k, kthr = jax.random.split(k)
+            mask_a = idx == a
+            p = jnp.sum(jnp.where(mask_a[:, None], pos, 0.0), axis=0)
+            d_a = jnp.sum(jnp.where(mask_a, state.diam, 0.0))
+            rel = pos - p
+            rel = rel - box * jnp.round(rel / box)
+            along = rel @ shift_v
+            r0sq = jnp.sum(rel * rel, axis=-1)
+            w2 = jnp.maximum(r0sq - along * along, 0.0)
+
+            sig = _sigma_ij(d_a, state.diam, params.eps)
+            sig2 = jnp.maximum(sig * sig, 1e-12)
+
+            def u_r2(r2):
+                x2 = r2 / sig2
+                inv2 = 1.0 / jnp.maximum(x2, 1e-12)
+                inv12 = inv2 * inv2 * inv2
+                inv12 = inv12 * inv12
+                u = inv12 + c0 + c2 * x2 + c4 * x2 * x2
+                return jnp.where(x2 < xc2, u, 0.0)
+
+            u01 = jax.random.uniform(
+                kthr, (n,), minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+            d_e = -jnp.log(u01) / beta
+
+            approaching = along > 0.0
+            v = u_r2(r0sq) + d_e                    # target energy
+            e_max = u_r2(w2)                        # u at impact parameter
+            fires = approaching & (v < e_max) & jnp.logical_not(mask_a)
+
+            # bisection for u(r_ev) = v on [b, min(r0, rc)] (u decreasing)
+            lo = w2
+            hi = jnp.minimum(r0sq, xc2 * sig2)
+
+            def bis(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                gt = u_r2(mid) >= v
+                return (jnp.where(gt, mid, lo), jnp.where(gt, hi, mid))
+
+            lo, hi = jax.lax.fori_loop(0, bisect_iters, bis, (lo, hi))
+            r_ev2 = 0.5 * (lo + hi)
+            s_j = along - jnp.sqrt(jnp.maximum(r_ev2 - w2, 0.0))
+            s_j = jnp.where(fires, jnp.maximum(s_j, 0.0), jnp.inf)
+
+            s_min = jnp.min(s_j)
+            j_star = jnp.min(jnp.where(s_j == s_min, idx, n)).astype(
+                jnp.int32)
+            limit = jnp.minimum(budget, s_cap)
+            hit = s_min < limit
+            s = jnp.minimum(s_min, limit)
+            new_p = (p + s * shift_v) % box
+            pos = jnp.where(mask_a[:, None], new_p, pos)
+            a = jnp.where(hit, j_star, a)
+            along_hit = jnp.sum(jnp.where(idx == j_star, along, 0.0))
+            excess = excess + jnp.where(hit, along_hit - s, 0.0)
+            return (pos, a, budget - s, ncoll + hit.astype(jnp.int32),
+                    niter + 1, excess, k)
+
+        budget0 = jnp.asarray(chain_length, jnp.float32)
+        pos, a, budget, ncoll, niter, excess, _ = jax.lax.while_loop(
+            cond, body, (pos0, a0, budget0, jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
+                         ku))
+        stats = {"t": chain_length - budget,
+                 "chains": jnp.asarray(1, jnp.int32),
+                 "collisions": ncoll,
+                 "cap_hits": (budget > 0.0).astype(jnp.int32),
+                 "excess": excess}
+        return dataclasses.replace(state, pos=pos), lift, stats
+
+    def init_lift(state, key):
+        return {}
+
+    return EventChainModel(init_lift=init_lift, event_step=event_step,
+                           name="PolyIPLStraightECMC")
+
+
 @functools.lru_cache(maxsize=None)
 def cell_closures(params: PolyParams):
     """Static (pair_energy, rcut2_of, rcut_max) closures for the

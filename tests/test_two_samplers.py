@@ -95,3 +95,35 @@ def test_pgmc_on_second_sampler_updates_only_its_params(tmp_path):
     # first sampler untouched; second adapted away from its initial sigma
     assert float(ds["params"][0]["sigma"]) == np.float32(0.5)
     assert float(ds["params_metropolis_1"][0]["sigma"]) != np.float32(0.2)
+
+
+def test_acceptance_callback_counts_both_samplers(tmp_path):
+    """``callback_acceptance`` averages over ALL Metropolis instances (ref
+    ``src/metropolis.jl:319-321`` filters the whole algorithm list), not
+    just the first — VERDICT r4's one-line parity gap."""
+    steps = 40
+    system = p1d.make_system(p1d.harmonic)
+    chains = p1d.init_chains(16, beta=2.0, seed=3)
+    times = mc.build_schedule(steps, 0, 10)
+    # second sampler proposes absurdly wide moves -> acceptance near 0;
+    # averaging over both samplers must drag the callback well below the
+    # first sampler's own rate
+    sim = mc.Simulation(system, chains, [
+        dict(algorithm=mc.Metropolis,
+             pool=(p1d.displacement_move(sigma=0.5),), seed=11),
+        dict(algorithm=mc.Metropolis,
+             pool=(p1d.displacement_move(sigma=200.0),), seed=12),
+        dict(algorithm=mc.StoreCallbacks,
+             callbacks=(mc.callback_acceptance,), scheduler=times),
+    ], steps, path=str(tmp_path / "acc2"))
+    sim.run()
+    ds = sim.device_state
+    c1 = np.asarray(ds["metropolis"]["counters"]).astype(float)
+    c2 = np.asarray(ds["metropolis_1"]["counters"]).astype(float)
+    want = np.concatenate(
+        [(c1[..., 0] / c1[..., 1]).ravel(),
+         (c2[..., 0] / c2[..., 1]).ravel()]).mean()
+    got = np.loadtxt(str(tmp_path / "acc2" / "acceptance.dat"))[-1, 1]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    r1 = (c1[..., 0] / c1[..., 1]).mean()
+    assert got < 0.75 * r1          # the dead sampler visibly counted
