@@ -518,21 +518,37 @@ def _execute_inner(sim: Simulation):
             _, stride, _ = compress_runs(np.asarray(times))[0]
             run_chunk = make_chunk(obs_ids)
             recs = [sim.algorithms[i] for i in obs_ids]
-            pos = 0
-            while pos < len(times):
-                n = min(_CHUNK, len(times) - pos)
-                first_dt = times[pos] - sim.t
-                ds, bufs = run_chunk(ds, masks, first_dt,
-                                     stride if stride else 1, n)
-                check_state(ds)
+
+            def flush(bufs, ds_after, ts):
+                # committing a chunk: state validity first (cheap scalar
+                # pull), then the buffer transfer + host writes — by now
+                # the NEXT chunk is already dispatched, so the transfer
+                # overlaps its device compute (one-deep pipeline; the
+                # axon host link is orders of magnitude slower than the
+                # advance, VERDICT r4 item 1)
+                check_state(ds_after)
                 vals = jax.device_get(bufs)
-                ts = times[pos:pos + n]
                 for r, v in zip(recs, vals):
                     r.write_batch(sim, ts, jax.tree_util.tree_map(
-                        lambda x: x[:n], v))
-                sim.t = times[pos + n - 1]
-                sim.device_state = ds
+                        lambda x: x[:len(ts)], v))
+                sim.t = int(ts[-1])
+                sim.device_state = ds_after
+
+            pos = 0
+            t_disp = sim.t          # end time of the last DISPATCHED chunk
+            pending = None
+            while pos < len(times):
+                n = min(_CHUNK, len(times) - pos)
+                first_dt = times[pos] - t_disp
+                ds, bufs = run_chunk(ds, masks, first_dt,
+                                     stride if stride else 1, n)
+                t_disp = times[pos + n - 1]
+                if pending is not None:
+                    flush(*pending)
+                pending = (bufs, ds, times[pos:pos + n])
                 pos += n
+            if pending is not None:
+                flush(*pending)
         else:
             _, observe_j = make_observe(obs_ids) if obs_ids else (None, None)
             for t in times:

@@ -187,3 +187,29 @@ def test_txt_format(tmp_path):
     sim.run()
     assert os.path.exists(
         str(tmp_path / "txt" / "trajectories" / "1" / "trajectory.txt"))
+
+
+def test_throughput_recorder_sanity(tmp_path):
+    """Throughput uses the shared scalar-readback sync (device_sync) —
+    assert the measured rates are finite, positive, and roughly consistent
+    with the wall-clock of the run (VERDICT r4 item 8)."""
+    import time
+    system = p1d.make_system()
+    chains = p1d.init_chains(256, beta=2.0, seed=1)
+    pool = (p1d.displacement_move(sigma=0.5),)
+    steps = 400
+    sim = mc.Simulation(system, chains, [
+        dict(algorithm=mc.Metropolis, pool=pool, seed=42),
+        dict(algorithm=mc.Throughput,
+             scheduler=np.arange(100, steps + 1, 100)),
+    ], steps, path=str(tmp_path / "tp"))
+    t0 = time.perf_counter()
+    sim.run()
+    wall = time.perf_counter() - t0
+    d = np.loadtxt(str(tmp_path / "tp" / "throughput.dat"))
+    assert d.shape == (4, 2)
+    assert np.all(np.isfinite(d[:, 1])) and np.all(d[:, 1] > 0)
+    # intervals sum to <= total wall clock => implied total steps/s of the
+    # measured intervals cannot be wildly above the true rate
+    implied_wall = (100 * 256 / d[:, 1]).sum()
+    assert implied_wall <= wall * 1.5
