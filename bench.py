@@ -7,7 +7,7 @@ The measured path is the production engine path: the fused compiled time loop
 not a stripped-down kernel.  A scalar readback forces device sync
 (block_until_ready does not reliably block on the axon tunnel backend).
 
-Variance discipline (VERDICT r4): the work unit is sized to ~1.5 s on chip
+Variance discipline (VERDICT r4): the work unit is sized to a few seconds on chip
 so timer/tunnel jitter is amortised, the reported rate is the MEDIAN of
 ``repeats`` runs, and the JSON carries the relative spread so a regression
 can be told from noise.  History bookkeeping: an explicitly tagged run
@@ -62,7 +62,7 @@ def _compare_with_history(rate):
     return (rate / prev) if prev else None
 
 
-def bench_metropolis(n_chains=10_000, n_steps=4_000_000, repeats=5):
+def bench_metropolis(n_chains=10_000, n_steps=12_000_000, repeats=7):
     import montecarlo_tpu as mc
     from montecarlo_tpu.core.simulation import _select_advance
     from montecarlo_tpu.models import particle1d as p1d

@@ -38,6 +38,7 @@ __all__ = [
     "callback_energy_per_particle",
     "callback_pressure",
     "callback_density",
+    "ecmc_model",
 ]
 
 
@@ -174,8 +175,9 @@ def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
                 params: LJParams = LJParams(), dim: int = 2) -> LJState:
     """Chain-stacked initial state: square/cubic lattice + small jitter
     (avoids overlaps), species assigned round-robin to hit ``frac_b``.
-    ``dim`` selects the spatial dimension (2 default; 3 runs through the
-    generic engine — the fused/cell fast paths are 2-D)."""
+    ``dim`` selects the spatial dimension (2 default; 3-D runs through the
+    generic engine at small N and the 3-D cell-MC path at large N — only
+    the Pallas row kernels are 2-D)."""
     box = float((n_particles / rho) ** (1.0 / dim))
     side = int(np.ceil(n_particles ** (1.0 / dim)))
     spacing = box / side

@@ -48,6 +48,7 @@ __all__ = [
     "total_energy",
     "callback_energy_per_particle",
     "callback_density",
+    "ecmc_model",
 ]
 
 

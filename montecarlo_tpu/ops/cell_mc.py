@@ -319,15 +319,18 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None,
             jnp.zeros_like(occ9).at[
                 ..., centre * cap:(centre + 1) * cap].set(sel))
 
-    def energy_at(pc, pa, crd9, as9, ok9, box):
+    def energy_at(pc, pa, crd9, as9, ok9, box2):
         """Interaction energy of a probe at fractional coords ``pc``
         (tuple of dim arrays (h, ..., 1)) against the stacked
-        neighbourhood; distances in real units via the per-chain box."""
+        neighbourhood; fractional min-image distances are scaled to real
+        units ONCE after the axis sum (box2 = box^2 per chain) — one
+        fewer multiply per lane per axis than scaling each delta."""
         r2 = 0.0
         for a in range(dim):
             d = crd9[a] - pc[a]
-            d = (d - jnp.round(d)) * box
+            d = d - jnp.round(d)
             r2 = r2 + d * d
+        r2 = r2 * box2
         u_p = pair_energy(r2, pa, as9)
         ok = ok9 & (r2 < rcut2_of(pa, as9))
         return jnp.sum(jnp.where(ok, u_p, 0.0), axis=-1)
@@ -389,8 +392,9 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None,
 
             crd9, as9, occ9 = stack9(cells)
             ok9 = excl_centre(occ9, sel)
-            d_e = (energy_at(pn, ai, crd9, as9, ok9, box)
-                   - energy_at(pi, ai, crd9, as9, ok9, box))
+            box2 = box * box
+            d_e = (energy_at(pn, ai, crd9, as9, ok9, box2)
+                   - energy_at(pi, ai, crd9, as9, ok9, box2))
 
             u_acc = jax.random.uniform(kacc, (h,) * dim)
             accept = has & inbox & (jnp.log(u_acc) < -beta * d_e)
@@ -439,10 +443,11 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None,
             # the exchange (eps/sig tables and sigma_ij are symmetric) and
             # cancels in dE
             ok9 = excl_centre(occ9, sel_i | sel_j)
-            e_old = (energy_at(pi, ai, crd9, as9, ok9, box)
-                     + energy_at(pj, aj, crd9, as9, ok9, box))
-            e_new = (energy_at(pi, aj, crd9, as9, ok9, box)
-                     + energy_at(pj, ai, crd9, as9, ok9, box))
+            box2 = box * box
+            e_old = (energy_at(pi, ai, crd9, as9, ok9, box2)
+                     + energy_at(pj, aj, crd9, as9, ok9, box2))
+            e_new = (energy_at(pi, aj, crd9, as9, ok9, box2)
+                     + energy_at(pj, ai, crd9, as9, ok9, box2))
             d_e = e_new - e_old
 
             u_acc = jax.random.uniform(kacc, (h,) * dim)
@@ -473,8 +478,9 @@ def _make_substep(grid: CellGrid, pair_energy, rcut2_of, swap_mode=None,
             r2 = 0.0
             for a in range(dim):
                 d = crd_n[a][..., None, :] - crd[a][..., :, None]
-                d = (d - jnp.round(d)) * box
+                d = d - jnp.round(d)
                 r2 = r2 + d * d                    # (..., C, C)
+            r2 = r2 * (box * box)
             a_i = attr[..., :, None]
             a_j = attr_n[..., None, :]
             ok = (occ[..., :, None] & occ_n[..., None, :]
