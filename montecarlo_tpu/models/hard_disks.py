@@ -72,10 +72,11 @@ def make_system() -> SystemDef:
         return state.pos
 
     def format_frame(t, pos):
-        n = pos.shape[0]
+        n, d = pos.shape
         lines = [f"{t} {n}"]
         for k in range(n):
-            lines.append(f"{float(pos[k, 0])!r} {float(pos[k, 1])!r}")
+            lines.append(" ".join(repr(float(pos[k, a]))
+                                  for a in range(d)))
         return "\n".join(lines)
 
     return SystemDef(name="HardDisks2D", log_target=log_target, frame=frame,
@@ -83,22 +84,29 @@ def make_system() -> SystemDef:
 
 
 def init_chains(n_chains: int, n_disks: int, eta: float,
-                seed: int = 42) -> HardDiskState:
-    """Square-lattice start at packing fraction ``eta`` (must admit a
-    non-overlapping lattice: eta < pi/4 ~ 0.785)."""
-    area = n_disks * np.pi * (_DIAM / 2) ** 2
-    box = float(np.sqrt(area / eta))
-    side = int(np.ceil(np.sqrt(n_disks)))
+                seed: int = 42, dim: int = 2) -> HardDiskState:
+    """Square/cubic-lattice start at packing fraction ``eta`` (area
+    fraction in 2-D, volume fraction in 3-D; must admit a non-overlapping
+    lattice: eta < pi/4 ~ 0.785 in 2-D, < pi/6 ~ 0.524 in 3-D).  ``dim=3``
+    gives HARD SPHERES — the displacement move, overlap checks, and the
+    checkerboard cell path are all dimension-generic (psi6 and the
+    straight-event-chain ECMC model remain 2-D)."""
+    if dim == 2:
+        content = n_disks * np.pi * (_DIAM / 2) ** 2
+    else:
+        content = n_disks * (np.pi / 6.0) * _DIAM ** 3
+    box = float((content / eta) ** (1.0 / dim))
+    side = int(np.ceil(n_disks ** (1.0 / dim)))
     spacing = box / side
     if spacing < _DIAM:
-        raise ValueError(f"eta={eta} too dense for a square-lattice start")
-    grid = np.stack(np.meshgrid(np.arange(side), np.arange(side)),
-                    axis=-1).reshape(-1, 2)[:n_disks]
+        raise ValueError(f"eta={eta} too dense for a lattice start")
+    axes = [np.arange(side)] * dim
+    grid = np.stack(np.meshgrid(*axes), axis=-1).reshape(-1, dim)[:n_disks]
     base = (grid + 0.5) * spacing
     jit_amp = 0.45 * (spacing - _DIAM)
     key = jax.random.key(seed)
     jitter = jit_amp * jax.random.uniform(
-        key, (n_chains, n_disks, 2), minval=-1.0, maxval=1.0)
+        key, (n_chains, n_disks, dim), minval=-1.0, maxval=1.0)
     pos = (jnp.asarray(base, jnp.float32)[None] + jitter) % box
     return HardDiskState(pos=pos,
                          box=jnp.full((n_chains,), box, jnp.float32))
@@ -222,17 +230,17 @@ class UniformSquare(Policy):
 
     def sample(self, params, key, state):
         ki, kd = jax.random.split(key)
-        n = state.pos.shape[0]
+        n, d = state.pos.shape
         i = jax.random.randint(ki, (), 0, n)
         delta = params["delta"] * jax.random.uniform(
-            kd, (2,), minval=-1.0, maxval=1.0)
+            kd, (d,), minval=-1.0, maxval=1.0)
         return {"i": i, "delta": delta}
 
     def log_density(self, params, action, state):
-        n = state.pos.shape[0]
+        n, dim = state.pos.shape
         d = params["delta"]
-        return -jnp.log(4.0 * d * d) - jnp.log(
-            jnp.asarray(float(n), jnp.result_type(d)))
+        return (-dim * jnp.log(2.0 * d)
+                - jnp.log(jnp.asarray(float(n), jnp.result_type(d))))
 
 
 def displacement_move(delta: float, weight: float = 1.0) -> Move:

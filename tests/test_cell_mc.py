@@ -510,3 +510,29 @@ def test_auto_cell_with_volume_moves_npt():
         lambda s: lj.total_energy(s, PARAMS), st))
     np.testing.assert_allclose(np.asarray(st.energy), e_true, rtol=1e-4,
                                atol=0.5)
+
+
+def test_hard_spheres_3d_cell_path():
+    """3-D hard spheres (the melting/crystallization workload) through the
+    dimension-generic cell path: overlap-free invariant preserved, sane
+    acceptance, infinite-wall hard core in 27-neighbourhood geometry."""
+    from montecarlo_tpu.models import hard_disks as hd
+
+    N, M, steps = 4096, 2, 10
+    chains = hd.init_chains(M, N, eta=0.45, seed=50, dim=3)
+    pool = (hd.displacement_move(0.1),)
+    sim = mc.Simulation(
+        hd.make_system(), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=5, sweepstep=256,
+              fused="cell")],
+        steps, path="/tmp/mctpu_hs3d_cell")
+    met = sim.device_algos[0]
+    assert met._use_cell and met._cell_plan.dim == 3
+    sim.run()
+    slc = sim.device_state["metropolis"]
+    assert not bool(np.asarray(slc["cell_overflow"]))
+    cnt = np.asarray(slc["counters"])
+    rate = cnt[:, 0, 0].sum() / cnt[:, 0, 1].sum()
+    assert 0.1 < rate < 0.999, rate
+    ok = np.asarray(jax.vmap(hd.overlap_free)(sim.device_state["sys"]))
+    assert ok.all(), "3-D cell path produced hard-core overlaps"
