@@ -278,6 +278,7 @@ class Metropolis(DeviceAlgorithm):
         "poly_swap": ("poly", "swap"),
         "poly_volume": ("poly", "vol"),
         "hard_disk_displacement_2d": ("hd", "disp"),
+        "hard_disk_volume": ("hd", "vol"),
     }
 
     def _plan_cell_mc(self, sim, opts):
@@ -601,7 +602,7 @@ class Metropolis(DeviceAlgorithm):
                 new_sys = dataclasses.replace(
                     sys, pos=pos, diam=attr_out, energy=energy, box=box_out)
             else:
-                new_sys = dataclasses.replace(sys, pos=pos)
+                new_sys = dataclasses.replace(sys, pos=pos, box=box_out)
             inc = jnp.zeros_like(slc["counters"])
             inc = inc.at[:, disp_idx, 0].add(acc[:, 0])
             inc = inc.at[:, disp_idx, 1].add(att[:, 0])

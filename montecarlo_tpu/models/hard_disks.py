@@ -42,6 +42,7 @@ __all__ = [
     "make_system",
     "init_chains",
     "displacement_move",
+    "volume_move",
     "ecmc_model",
     "ecmc_pressure",
     "min_pair_distance",
@@ -274,11 +275,61 @@ def displacement_move(delta: float, weight: float = 1.0) -> Move:
                 weight=weight)
 
 
+class _UniformLogVolume(Policy):
+    """Symmetric uniform step in ln V (hard-core NPT)."""
+
+    def sample(self, params, key, state):
+        return params["dlnv"] * jax.random.uniform(
+            key, (), minval=-1.0, maxval=1.0)
+
+    def log_density(self, params, action, state):
+        return -jnp.log(2.0 * params["dlnv"])
+
+
+def volume_move(dlnv: float, beta_pressure: float,
+                weight: float = 1.0) -> Move:
+    """Isotropic ln-V volume move for the HARD-CORE NPT ensemble
+    (constant-pressure hard disks / spheres — the classic crystallization
+    protocol).  Only the product beta*P enters (there is no energy scale):
+
+        dlog pi = -betaP dV + (N + 1) delta,   overlap => -inf.
+
+    On the cell path this runs as a volume substep for free: the infinite
+    energy wall makes the full cell energy at the proposed box exactly 0
+    (valid) or +inf (overlap => certain rejection)."""
+
+    def apply(state: HardDiskState, delta):
+        n, d = state.pos.shape
+        scale = jnp.exp(delta / d)
+        new = dataclasses.replace(state, pos=state.pos * scale,
+                                  box=state.box * scale)
+        overlap = min_pair_distance(new) < _DIAM
+        v_old = state.box ** d
+        d_v = v_old * (jnp.exp(delta) - 1.0)
+        dlogp = jnp.where(overlap, -jnp.inf,
+                          -beta_pressure * d_v + (n + 1) * delta)
+        return new, dlogp
+
+    def invert(delta, new_state):
+        return -delta
+
+    def reward(delta, new_state):
+        return delta * delta
+
+    md = MoveDef(name="HardDiskVolume", policy=_UniformLogVolume(),
+                 apply=apply, invert=invert, reward=reward,
+                 kind="hard_disk_volume", aux=(None, float(beta_pressure)))
+    return Move(move=md, params={"dlnv": jnp.asarray(dlnv, jnp.float32)},
+                weight=weight)
+
+
 # -- straight event-chain model ---------------------------------------------
 
 def ecmc_model(chain_length: float,
                max_events_per_chain: int = 256) -> EventChainModel:
-    """Straight event chains along +x / +y.
+    """Straight event chains along the +axis directions (2-D or 3-D —
+    hard spheres run the same O(N) pass: the collision geometry only uses
+    the squared perpendicular distance ``w2 = r0^2 - along^2``).
 
     One ``event_step`` runs one FULL chain: a fresh (active disk, direction)
     pair is drawn, then the active disk slides and the lifting transfers at
@@ -311,12 +362,11 @@ def ecmc_model(chain_length: float,
 
     def event_step(state, lift, key):
         pos0, box = state.pos, state.box
-        n = pos0.shape[0]
+        n, dim = pos0.shape
         ka, kd = jax.random.split(key)
         a0 = jax.random.randint(ka, (), 0, n)
-        d = jax.random.randint(kd, (), 0, 2)
-        shift = jnp.where(d == 0,
-                          jnp.asarray([1.0, 0.0]), jnp.asarray([0.0, 1.0]))
+        d = jax.random.randint(kd, (), 0, dim)
+        shift = jax.nn.one_hot(d, dim, dtype=pos0.dtype)
         idx = jnp.arange(n)
 
         def cond(carry):
@@ -328,12 +378,14 @@ def ecmc_model(chain_length: float,
             mask_a = idx == a
             p = jnp.sum(jnp.where(mask_a[:, None], pos, 0.0), axis=0)
             rel = pos - p
-            along = jnp.where(d == 0, rel[:, 0], rel[:, 1])
-            perp = jnp.where(d == 0, rel[:, 1], rel[:, 0])
+            along = rel @ shift
+            relm = rel - box * jnp.round(rel / box)   # min-imaged
+            alongm = relm @ shift
+            w2 = jnp.maximum(jnp.sum(relm * relm, axis=-1)
+                             - alongm * alongm, 0.0)
             u = along % box                           # forward-wrapped
-            w = perp - box * jnp.round(perp / box)    # min-imaged
-            hittable = jnp.logical_not(mask_a) & (jnp.abs(w) < _DIAM)
-            root = jnp.sqrt(jnp.maximum(_DIAM * _DIAM - w * w, 0.0))
+            hittable = jnp.logical_not(mask_a) & (w2 < _DIAM * _DIAM)
+            root = jnp.sqrt(jnp.maximum(_DIAM * _DIAM - w2, 0.0))
             s_j = u - root
             # A disk "behind" along the wrapped axis is hit a period later —
             # but an at-contact partner whose s_j rounds to -1ulp (e.g. the

@@ -146,3 +146,35 @@ def test_hard_disks_ecmc_pressure_matches_virial():
               + 0.53223 * b2 ** 3 * rho ** 3
               + 0.33356 * b2 ** 4 * rho ** 4)
     np.testing.assert_allclose(p, virial, rtol=0.03)
+
+
+def test_hard_sphere_ecmc_3d():
+    """3-D hard-sphere straight event chains (the collision pass only uses
+    w^2 = r0^2 - along^2): overlap-free invariant, events fire, and the
+    post-equilibration MKK pressure matches Carnahan-Starling."""
+    N, M, steps = 216, 16, 80     # N = 6^3: a full cubic lattice start
+    chains = hd.init_chains(M, N, eta=0.35, seed=60, dim=3)
+    box = float(chains.box[0])
+    ell = box / 2.0
+    model = hd.ecmc_model(ell, max_events_per_chain=512)
+
+    def run(start):
+        sim = mc.Simulation(
+            hd.make_system(), start,
+            [dict(algorithm=mc.EventChain, model=model, events_per_step=4,
+                  seed=9)],
+            steps, path="/tmp/mctpu_ecmc_hs3d")
+        sim.run()
+        return sim
+
+    sim = run(chains)                       # equilibration phase
+    sim = run(sim.device_state["sys"])      # measurement phase
+    stats = sim.device_state["ecmc"]["stats"]
+    assert int(np.asarray(stats["cap_hits"]).sum()) == 0
+    assert np.all(np.asarray(stats["collisions"]) > 0)
+    ok = np.asarray(jax.vmap(hd.overlap_free)(sim.device_state["sys"]))
+    assert ok.all(), "3-D event chains produced overlaps"
+    # beta P / rho for hard spheres at eta=0.35 (Carnahan-Starling):
+    # (1+eta+eta^2-eta^3)/(1-eta)^3 ~ 4.97; generous MC/finite-N gate
+    p_red = hd.ecmc_pressure(stats, ell)
+    assert 4.0 < p_red < 6.0, p_red

@@ -74,3 +74,59 @@ def test_lj_npt_geometry_bookkeeping():
     rates = cnt[..., 0].sum(0) / cnt[..., 1].sum(0)
     assert 0.05 < rates[0] < 0.99
     assert 0.05 < rates[1] < 0.999
+
+
+def test_hard_disk_npt_dilute_ideal_gas_limit():
+    """Hard-core NPT through the generic path: at near-zero packing the
+    hard core is irrelevant and <V> = (N+1)/(betaP) exactly (the same
+    identity that gates the LJ volume move)."""
+    from montecarlo_tpu.models import hard_disks as hd
+
+    N, M, steps = 64, 64, 1200
+    beta_p = 0.005            # equilibrium eta ~ 0.004: virial corr < 1%
+    chains = hd.init_chains(M, N, eta=0.05, seed=3)
+    pool = (hd.displacement_move(0.8, weight=0.5),
+            hd.volume_move(dlnv=0.25, beta_pressure=beta_p, weight=0.5))
+    sim = mc.Simulation(
+        hd.make_system(), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=7, sweepstep=2)],
+        steps, path="/tmp/mctpu_hd_npt_ideal")
+    sim.run()
+    st = sim.device_state["sys"]
+    v = np.asarray(st.box) ** 2
+    want = (N + 1) / beta_p
+    got = float(v.mean())
+    se = float(v.std(ddof=1) / np.sqrt(len(v)))
+    assert abs(got - want) < 4 * se + 0.05 * want, (got, want, se)
+    ok = np.asarray(jax.vmap(hd.overlap_free)(st))
+    assert ok.all()
+
+
+def test_hard_sphere_npt_cell_path():
+    """Hard-core NPT at cell speed: the displacement+volume hard-sphere
+    pool engages the 3-D cell path (infinite wall => compressions creating
+    overlap are certainly rejected in the volume substep); overlap-free
+    invariant holds and the box responds to pressure."""
+    from montecarlo_tpu.models import hard_disks as hd
+
+    N, M, steps = 4096, 2, 12
+    chains = hd.init_chains(M, N, eta=0.30, seed=9, dim=3)
+    pool = (hd.displacement_move(0.12, weight=0.95),
+            hd.volume_move(dlnv=0.002, beta_pressure=3.0, weight=0.05))
+    sim = mc.Simulation(
+        hd.make_system(), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=5, sweepstep=512)],
+        steps, path="/tmp/mctpu_hs_npt_cell")
+    met = sim.device_algos[0]
+    assert met._use_cell, met._cell_plan_error
+    assert met._cell_model[2] == "hd" and met._cell_model[6] == 1
+    sim.run()
+    slc = sim.device_state["metropolis"]
+    assert not bool(np.asarray(slc["cell_overflow"]))
+    cnt = np.asarray(slc["counters"])
+    assert cnt[:, 1, 1].sum() > 0 and cnt[:, 1, 0].sum() > 0
+    st = sim.device_state["sys"]
+    box0 = float(chains.box[0])
+    assert np.any(np.abs(np.asarray(st.box) - box0) > 1e-5)
+    ok = np.asarray(jax.vmap(hd.overlap_free)(st))
+    assert ok.all(), "NPT cell path produced overlaps"
