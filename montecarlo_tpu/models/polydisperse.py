@@ -56,7 +56,7 @@ __all__ = [
 @dataclasses.dataclass(frozen=True)
 class PolyState:
     """Single-chain state."""
-    pos: jax.Array    # (N, 2) positions in [0, L)
+    pos: jax.Array    # (N, dim) positions in [0, L)
     diam: jax.Array   # (N,) particle diameters
     beta: jax.Array   # () inverse temperature
     energy: jax.Array # () cached total potential energy
@@ -152,12 +152,12 @@ def make_system(params: PolyParams = PolyParams()) -> SystemDef:
                 "energy": state.energy}
 
     def format_frame(t, fr):
-        n = fr["pos"].shape[0]
+        n, d = fr["pos"].shape
         lines = [f"{t} {n} {float(fr['energy'])!r}"]
         for k in range(n):
-            lines.append(f"{float(fr['diam'][k])!r} "
-                         f"{float(fr['pos'][k, 0])!r} "
-                         f"{float(fr['pos'][k, 1])!r}")
+            coords = " ".join(repr(float(fr["pos"][k, a]))
+                              for a in range(d))
+            lines.append(f"{float(fr['diam'][k])!r} {coords}")
         return "\n".join(lines)
 
     def refresh(state: PolyState):
@@ -185,21 +185,25 @@ def sample_diameters(n: int, params: PolyParams = PolyParams(),
 
 
 def init_chains(n_chains: int, n_particles: int, rho: float, beta: float,
-                seed: int = 42,
-                params: PolyParams = PolyParams()) -> PolyState:
-    """Square-lattice start; every chain gets the same diameter draw (the
-    composition is quenched disorder shared across chains)."""
-    box = float(np.sqrt(n_particles / rho))
-    side = int(np.ceil(np.sqrt(n_particles)))
+                seed: int = 42, params: PolyParams = PolyParams(),
+                dim: int = 2) -> PolyState:
+    """Square/cubic-lattice start; every chain gets the same diameter draw
+    (the composition is quenched disorder shared across chains).  ``dim=3``
+    gives the 3-D polydisperse glass former — every move (displacement,
+    swap, volume), the cell path, and the IPL event chain are
+    dimension-generic."""
+    box = float((n_particles / rho) ** (1.0 / dim))
+    side = int(np.ceil(n_particles ** (1.0 / dim)))
     spacing = box / side
-    grid = np.stack(np.meshgrid(np.arange(side), np.arange(side)),
-                    axis=-1).reshape(-1, 2)[:n_particles]
+    axes = [np.arange(side)] * dim
+    grid = np.stack(np.meshgrid(*axes), axis=-1).reshape(-1, dim)
+    grid = grid[:n_particles]
     base = (grid + 0.5) * spacing
     diam = sample_diameters(n_particles, params, seed=seed + 1)
 
     key = jax.random.key(seed)
     jitter = (0.1 * spacing) * jax.random.uniform(
-        key, (n_chains, n_particles, 2), minval=-1.0, maxval=1.0)
+        key, (n_chains, n_particles, dim), minval=-1.0, maxval=1.0)
     pos = (jnp.asarray(base, jnp.float32)[None] + jitter) % box
 
     state = PolyState(
@@ -229,17 +233,17 @@ class GaussianDisplacement2D(Policy):
 
     def sample(self, params, key, state):
         ki, kd = jax.random.split(key)
-        n = state.pos.shape[0]
+        n, d = state.pos.shape
         i = jax.random.randint(ki, (), 0, n)
-        delta = params["sigma"] * jax.random.normal(kd, (2,))
+        delta = params["sigma"] * jax.random.normal(kd, (d,))
         return {"i": i, "delta": delta}
 
     def log_density(self, params, action, state):
         sigma = params["sigma"]
         d2 = jnp.sum(action["delta"] ** 2)
-        n = state.pos.shape[0]
+        n, d = state.pos.shape
         return (-d2 / (2.0 * sigma * sigma)
-                - jnp.log(2.0 * jnp.pi * sigma * sigma)
+                - (d / 2.0) * jnp.log(2.0 * jnp.pi * sigma * sigma)
                 - jnp.log(jnp.asarray(float(n), sigma.dtype)))
 
 

@@ -100,3 +100,35 @@ def test_swap_and_noswap_sample_same_ensemble():
     cnt = np.asarray(sim_b.device_state["metropolis"]["counters"])
     swap_acc = cnt[:, 1, 0].sum() / cnt[:, 1, 1].sum()
     assert 0.01 < swap_acc < 0.9
+
+
+def test_poly_3d_glass_protocol():
+    """3-D polydisperse soft spheres (the standard 3-D swap-MC glass
+    former): displacement + swap pool through the 3-D cell path, energy
+    cache exact, diameters conserved."""
+    import dataclasses
+    par = poly.PolyParams()
+    N, M, steps = 4096, 2, 10
+    chains = poly.init_chains(M, N, rho=1.0, beta=1.0 / 0.4, seed=70,
+                              params=par, dim=3)
+    pool = (poly.displacement_move(0.06, weight=0.8, params=par),
+            poly.swap_move(weight=0.2, params=par))
+    sim = mc.Simulation(
+        poly.make_system(par), chains,
+        [dict(algorithm=mc.Metropolis, pool=pool, seed=5, sweepstep=256)],
+        steps, path="/tmp/mctpu_poly3d")
+    met = sim.device_algos[0]
+    assert met._use_cell and met._cell_plan.dim == 3, met._cell_plan_error
+    sim.run()
+    slc = sim.device_state["metropolis"]
+    assert not bool(np.asarray(slc["cell_overflow"]))
+    cnt = np.asarray(slc["counters"])
+    assert cnt[:, 0, 0].sum() > 0 and cnt[:, 1, 0].sum() > 0
+    st = sim.device_state["sys"]
+    d_new = np.sort(np.asarray(st.diam), axis=1)
+    d_old = np.sort(np.asarray(chains.diam), axis=1)
+    np.testing.assert_allclose(d_new, d_old, rtol=0, atol=0)
+    e_true = np.asarray(jax.lax.map(
+        lambda s: poly.total_energy(s, par), st))
+    np.testing.assert_allclose(np.asarray(st.energy), e_true, rtol=1e-3,
+                               atol=0.5)
