@@ -221,6 +221,12 @@ class Metropolis(DeviceAlgorithm):
     (``src/metropolis.jl:252-260,289``); here parameters are simply replicated
     arrays stored once in device state (``dstate['params']``) — broadcast
     replaces aliasing.
+
+    ``fused`` selects the fast path ('auto'/'off'/'interpret'/'cell');
+    ``cell_opts`` tunes the cell-MC plan: ``d_cap`` (anchor halo, real
+    units, default 0.45), ``cap_slack`` (capacity as a multiple of mean
+    occupancy, default 2.0), ``box_margin`` (NPT compression headroom as a
+    box fraction, default 0.15 when the pool carries a volume move).
     """
 
     state_key = "metropolis"
