@@ -348,7 +348,10 @@ class StoreTrajectories(ObservableRecorder):
             import json
             for f in self._field_files.values():
                 f.close()
-            if self._field_files and _io_host():
+            if _io_host():
+                # write the manifest even for an empty run so the loader
+                # never hits a missing index.json
+                os.makedirs(self.dir, exist_ok=True)
                 with open(os.path.join(self.dir, "index.json"), "w") as f:
                     json.dump({"n_chains": self.n_chains,
                                "times": self._times,
@@ -385,6 +388,9 @@ def load_chain_major_trajectories(path):
     fields = {}
     for name, spec in idx["fields"].items():
         shape = (len(times),) + tuple(spec["shape"])
+        if len(times) == 0:
+            fields[name] = np.empty(shape, np.dtype(spec["dtype"]))
+            continue
         fields[name] = np.memmap(os.path.join(d, name + ".bin"),
                                  dtype=np.dtype(spec["dtype"]), mode="r",
                                  shape=shape)

@@ -741,8 +741,10 @@ def _max_cell_occupancy(state0, nc: int, dim: int,
     """Max per-cell particle count of the initial configuration (host-side
     numpy, sampled over at most ``max_chains`` chains) — sizes the cell
     capacity from an observed quantile instead of the mean."""
-    pos = np.asarray(state0.pos)[:max_chains]
-    box = np.asarray(state0.box).reshape(-1)[:max_chains, None, None]
+    # slice BEFORE materialising: pulling all M chains host-side at plan
+    # time costs seconds over a slow host link at flagship chain counts
+    pos = np.asarray(state0.pos[:max_chains])
+    box = np.asarray(state0.box)[:max_chains].reshape(-1, 1, 1)
     ci = np.clip((pos / box * nc).astype(np.int64), 0, nc - 1)
     cid = ci[..., 0]
     for a in range(1, dim):

@@ -417,6 +417,16 @@ def _execute(sim: Simulation):
         except Metropolis.CellBindInvalid as e:
             import warnings
             e.alg.disable_cell_path()
+            # clear any latched flag in the COMMITTED state so a later
+            # checkpoint/restore cannot spuriously re-raise (defensive —
+            # committed states have always passed check_state)
+            slc = sim.device_state.get(e.alg.state_key)
+            if isinstance(slc, dict) and "cell_overflow" in slc:
+                import jax.numpy as _jnp
+                sim.device_state = {
+                    **sim.device_state,
+                    e.alg.state_key: {**slc,
+                                      "cell_overflow": _jnp.zeros((), bool)}}
             warnings.warn(
                 "cell-MC bind exceeded the planned cell capacity at "
                 f"t={sim.t}; falling back to the generic path for the rest "

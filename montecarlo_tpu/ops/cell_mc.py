@@ -603,11 +603,16 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
         key, jnp.arange(m, dtype=jnp.uint32))
     # random grid origin per bind: a per-chain uniform fractional shift
     # makes the mean anchor-halo coverage position-independent, restoring
-    # pi-invariance of the bind+segment composition (module docstring)
+    # pi-invariance of the bind+segment composition (module docstring).
+    # The shift stream is a DEDICATED double-fold off the segment key (like
+    # the 0xC0110 color stream) so it can never alias a substep key
+    # fold_in(chain_key, i) at any reachable substep index.
+    kshift = jax.random.fold_in(jax.random.fold_in(key, 0x5A1F7), 0x0F5E7)
     shift = jax.vmap(
-        lambda k: jax.random.uniform(jax.random.fold_in(k, 0x0F5E7), (dim,))
-    )(chain_keys)                                        # (M, dim)
+        lambda c: jax.random.uniform(jax.random.fold_in(kshift, c), (dim,))
+    )(jnp.arange(m, dtype=jnp.uint32))                   # (M, dim)
     s = (pos / box[:, None, None] + shift[:, None, :]) % 1.0
+    s = jnp.where(s >= 1.0, 0.0, s)    # f32 mod of -eps can return 1.0
 
     cells = jax.vmap(functools.partial(bind_cells, grid))(s, attr)
     # a chain whose bind is invalid (cell capacity exceeded, or its box
@@ -625,8 +630,11 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
         cells, e, bx, att, acc = carry
         # the color/kind draws are SHARED across chains (their own stream
         # off the segment key) so the variant switch stays scalar under
-        # vmap — a vectorized switch would execute every branch per substep
-        kv = jax.random.fold_in(jax.random.fold_in(key, 0xC0110), i)
+        # vmap — a vectorized switch would execute every branch per substep.
+        # Double-fold sentinels keep the stream from aliasing any chain key
+        # fold_in(key, c) at reachable chain counts.
+        kv = jax.random.fold_in(jax.random.fold_in(
+            jax.random.fold_in(key, 0x7C01), 0xC0110), i)
         color = jax.random.randint(kv, (), 0, n_colors)
         if n_kinds == 1:
             kind = jnp.zeros((), jnp.int32)
@@ -660,7 +668,9 @@ def cell_mc_segment(grid: CellGrid, pair_energy, rcut2_of, pos, attr, beta,
         (cells, energy, box, jnp.zeros((m, 3), jnp.int32),
          jnp.zeros((m, 3), jnp.int32)))
     s_out, attr_out = jax.vmap(lambda c: unbind_cells(c, n))(cells)
-    pos_out = ((s_out - shift[:, None, :]) % 1.0) * box_out[:, None, None]
+    frac = (s_out - shift[:, None, :]) % 1.0
+    frac = jnp.where(frac >= 1.0, 0.0, frac)   # keep pos strictly in [0, box)
+    pos_out = frac * box_out[:, None, None]
     # invalid chains: whole segment is a no-op (their bind dropped
     # particles), counters zeroed so the corruption cannot leak
     pos_out = jnp.where(invalid[:, None, None], pos, pos_out)

@@ -213,3 +213,21 @@ def test_throughput_recorder_sanity(tmp_path):
     # measured intervals cannot be wildly above the true rate
     implied_wall = (100 * 256 / d[:, 1]).sum()
     assert implied_wall <= wall * 1.5
+
+
+def test_chain_major_empty_store_loads(tmp_path):
+    """A run that never fires the BIN recorder still writes a manifest and
+    loads back as empty arrays (review r5 finding)."""
+    system = p1d.make_system()
+    chains = p1d.init_chains(2, beta=2.0, seed=1)
+    path = str(tmp_path / "empty")
+    sim = mc.Simulation(system, chains, [
+        dict(algorithm=mc.Metropolis,
+             pool=(p1d.displacement_move(sigma=0.5),)),
+        dict(algorithm=mc.StoreTrajectories, fmt=mc.BIN(),
+             store_first=False, scheduler=np.asarray([0])),
+    ], 4, path=path)
+    sim.run()
+    ts, fields = mc.load_chain_major_trajectories(path)
+    assert ts.shape == (0,)
+    assert fields == {}

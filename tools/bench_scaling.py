@@ -50,7 +50,6 @@ def rate(n_dev, chains_per_dev, n_steps, recorders=False):
         import shutil
         path = "/tmp/mctpu_scaling_rec"
         stride = max(1, n_steps // 100)
-        sched = jnp.asarray(0)  # placeholder, numpy below
         sched = np.arange(stride, n_steps + 1, stride)
 
         def build():
