@@ -536,3 +536,34 @@ def test_hard_spheres_3d_cell_path():
     assert 0.1 < rate < 0.999, rate
     ok = np.asarray(jax.vmap(hd.overlap_free)(sim.device_state["sys"]))
     assert ok.all(), "3-D cell path produced hard-core overlaps"
+
+
+def test_npt_cell_matches_generic_density():
+    """Direct ensemble cross-check of the VOLUME SUBSTEP: the cell path's
+    NPT equilibrium density must match the generic path's at the same
+    (T, P) — the two volume implementations share no code (full cell-grid
+    energy pass + fractional rescale vs O(N^2) recompute + coordinate
+    rescale)."""
+    N, M, P = 512, 16, 2.0
+    means = {}
+    # equal TOTAL attempt counts per chain (~31k): the cell path batches
+    # them as 60 segments of 512, the generic path as 480 steps of 64
+    for mode, sweep, steps in (("cell", 512, 60), ("off", 64, 480)):
+        chains = lj.init_chains(M, N, rho=0.65, beta=1.0, frac_b=0.0,
+                                seed=45, params=PARAMS)
+        pool = (lj.lj_displacement_move(0.12, weight=0.95, params=PARAMS),
+                lj.lj_volume_move(dlnv=0.01, pressure=P, weight=0.05,
+                                  params=PARAMS))
+        sim = mc.Simulation(
+            lj.make_system(PARAMS), chains,
+            [dict(algorithm=mc.Metropolis, pool=pool, seed=1,
+                  sweepstep=sweep, fused=mode)],
+            steps, path=f"/tmp/mctpu_npt_xcheck_{mode}")
+        if mode == "cell":
+            assert sim.device_algos[0]._use_cell
+        sim.run()
+        rho = N / np.asarray(sim.device_state["sys"].box) ** 2
+        means[mode] = (float(rho.mean()),
+                       float(rho.std(ddof=1) / np.sqrt(M)))
+    se = np.hypot(means["cell"][1], means["off"][1])
+    assert abs(means["cell"][0] - means["off"][0]) < 4 * se + 0.01, means
