@@ -41,7 +41,10 @@ Anderson, Lechner & Glotzer's checkerboard GPU MC, re-derived TPU-first):
   re-bind is needed; the full energy at the proposed box is one
   all-cells 3^dim-neighbourhood pass.  Proposals outside the grid's valid
   box range are rejected (a symmetric proposal-set restriction, like the
-  anchor halo).
+  anchor halo).  A volume substep costs ~2^dim x cap displacement
+  substeps while delivering ONE attempt, so weight volume moves like
+  production NPT (~one attempt per sweep, w_vol ~ 1/N), not as an
+  equal-attempt peer — a heavy w_vol dominates wall clock.
 - Between segments, particles are re-binned (one argsort per chain) at a
   fresh random origin, restoring full ergodicity; within a segment the
   anchor constraint makes re-binning unnecessary by construction.
